@@ -1,0 +1,316 @@
+"""Configuration for svol_tpu.
+
+Mirrors the reference's CLI surface (``lib/configs.py:7-183``) but as explicit
+dataclasses with no import-time side effects.  Every reference flag has a
+field here; fields the reference *used but never defined* (``enc_layers``,
+``dec_layers`` needed by ``transformer.py:318-319``; ``mode``/``feat_dim``
+needed by ``sketch_detr.py:126-127``) are added with sane defaults so the
+secondary heads are actually buildable.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+
+@dataclass
+class DataConfig:
+    """Dataset / input-pipeline options (reference: configs.py:8-16, 91-108)."""
+
+    root: str = "data/svol"
+    anno_root: str = "data/svol/annos"
+    video_dataset: str = "imagenet_vid"
+    sketch_dataset: str = "sketchy"  # sketchy | tu_berlin | quickdraw
+    bs: int = 16
+    eval_bs: int = 16
+    num_workers: int = 4
+    num_frames: int = 32
+    num_input_sketches: int = 1
+    tight_frame_sampling: bool = False
+    zeroshot_dataset_eval: bool = False
+    zeroshot_category_eval: bool = False
+    unified_sketch_dataset: bool = False
+    image_size: int = 224
+    # Static-shape cap on boxes per frame; equals num_queries_per_frame in the
+    # reference protocol (configs.py:125-126).
+    max_boxes_per_frame: int = 10
+    # Grain pipeline options (no reference equivalent; the reference uses
+    # torch DataLoader workers, svol_dataloader.py:59).
+    prefetch_buffer: int = 2
+    hflip_prob: float = 0.5
+
+
+@dataclass
+class ModelConfig:
+    """Model architecture options (reference: configs.py:110-144)."""
+
+    sketch_head: str = "svanet"  # svanet | sketch_detr | svanet_variant
+    backbone: str = "resnet"  # resnet | vit
+    hidden_dim: int = 256
+    nheads: int = 8
+    num_layers: int = 2  # recipe default (train_quickdraw.sh:24); configs.py default is 4
+    num_queries: int = 320
+    num_queries_per_frame: int = 10
+    input_dropout: float = 0.4
+    use_sketch_pos: bool = True
+    n_input_proj: int = 2
+    dropout: float = 0.1
+    dim_feedforward: int = 1024
+    # The cross-modal transformer hard-codes 2048 (cross_modal_transformer.py:201).
+    cmt_dim_feedforward: int = 2048
+    pre_norm: bool = False
+    sketch_position_embedding: str = "sine"  # trainable | sine | learned
+    video_position_embedding: str = "sine"
+    aux_loss: bool = True
+    num_classes: int = 2  # foreground / background
+    # Fields the reference needs but never defines (SURVEY.md §2 defects):
+    enc_layers: int = 2  # vanilla DETR encoder depth (sketch_detr path)
+    dec_layers: int = 2  # vanilla DETR decoder depth (sketch_detr path)
+    variant_mode: str = "concat_to_seq"  # svanet_variants fusion mode
+    # Backbone-derived feature dims; populated by build_backbone just like the
+    # reference mutates args (backbone.py:124-125,140-141).
+    input_vid_dim: int = 512
+    input_skch_dim: int = 512
+    # TPU-specific:
+    use_pallas_attention: bool = False  # fused gated cross-attention kernel
+    compute_dtype: str = "bfloat16"  # activations dtype under jit
+    param_dtype: str = "float32"
+
+
+@dataclass
+class LossConfig:
+    """Matcher / criterion options (reference: configs.py:147-160)."""
+
+    matcher: str = "per_frame_matcher"  # per_frame_matcher | video_matcher
+    set_cost_bbox: float = 5.0
+    set_cost_giou: float = 1.0
+    set_cost_class: float = 2.0
+    eos_coef: float = 0.1
+    aux_loss: bool = True
+    # on_device: exact JAX Hungarian inside jit; callback: scipy via pure_callback
+    hungarian_impl: str = "on_device"
+
+
+@dataclass
+class TrainConfig:
+    """Optimization / loop options (reference: configs.py:17-38, 64-88)."""
+
+    seed: int = 1
+    log_interval: int = 100
+    val_interval: int = 1000
+    save_interval: int = -1
+    debug: bool = False
+    eval_untrained: bool = False
+    log_dir: str = "logs"
+    checkpoint: str = "./save"
+    results_dir: str = "results"
+    resume: Optional[str] = None
+    resume_all: bool = False
+    start_iter: Optional[int] = None
+    num_iters: int = 50_000
+    early_stop_patience: int = 10
+    lr: float = 1e-4
+    lr_drop_step: int = 20_000
+    wd: float = 1e-4
+    optimizer: str = "adamw"  # sgd | adam | adamw
+    scheduler: str = "steplr"  # steplr | multisteplr
+    freeze_backbone: bool = False
+    # bf16 train step (replaces apex AMP opt-level, configs.py:52-56)
+    use_bf16: bool = True
+    # Mesh axes for data parallelism; -1 = all visible devices.
+    dp_devices: int = -1
+
+
+@dataclass
+class EvalConfig:
+    """Evaluation options (reference: configs.py:163-168)."""
+
+    bbox_type: str = "cxcywh"  # cxcywh | xyxy
+    no_sort_results: bool = False
+    ap_num_workers: int = 8
+    ap_chunksize: int = 50
+
+
+@dataclass
+class SvolConfig:
+    """Top-level config bundle."""
+
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+
+    def __post_init__(self) -> None:
+        self.validate()
+
+    def validate(self) -> None:
+        m, d = self.model, self.data
+        if m.num_queries != d.num_frames * m.num_queries_per_frame:
+            raise ValueError(
+                f"num_queries ({m.num_queries}) must equal num_frames "
+                f"({d.num_frames}) * num_queries_per_frame ({m.num_queries_per_frame}); "
+                "the reference asserts the same (matcher.py:56)."
+            )
+        if m.sketch_head not in ("svanet", "sketch_detr", "svanet_variant"):
+            raise ValueError(f"unknown sketch_head {m.sketch_head!r}")
+        if m.backbone not in ("resnet", "vit"):
+            raise ValueError(f"unknown backbone {m.backbone!r}")
+        if d.max_boxes_per_frame != m.num_queries_per_frame:
+            raise ValueError(
+                "max_boxes_per_frame must equal num_queries_per_frame "
+                "(per-frame LSAP is square after densification)"
+            )
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "SvolConfig":
+        return cls(
+            data=DataConfig(**d.get("data", {})),
+            model=ModelConfig(**d.get("model", {})),
+            loss=LossConfig(**d.get("loss", {})),
+            train=TrainConfig(**d.get("train", {})),
+            eval=EvalConfig(**d.get("eval", {})),
+        )
+
+    def run_tag(self, phase: str = "") -> str:
+        """Checkpoint/results name encoding the config, matching the
+        reference filename scheme (train.py:280-282, test.py:197-199)."""
+        m, d, l = self.model, self.data, self.loss
+
+        def _fmt(x: float) -> str:
+            return str(int(x)) if float(x).is_integer() else str(x)
+
+        tag = (
+            f"{d.video_dataset}_{d.sketch_dataset}_{m.sketch_head}_{m.backbone}_"
+            f"{m.num_layers}l_{d.num_frames}f_{m.num_queries}q_"
+            f"{_fmt(l.set_cost_bbox)}_{_fmt(l.set_cost_giou)}_{_fmt(l.set_cost_class)}"
+        )
+        return f"{tag}_{phase}" if phase else tag
+
+
+# ---------------------------------------------------------------------------
+# CLI bridge: same flag names as the reference parser (lib/configs.py) so the
+# shell recipes port 1:1, but parsing happens only when explicitly requested.
+# ---------------------------------------------------------------------------
+
+_FLAG_MAP = {
+    # flag name -> (section, field)
+    "root": ("data", "root"),
+    "anno_root": ("data", "anno_root"),
+    "video_dataset": ("data", "video_dataset"),
+    "sketch_dataset": ("data", "sketch_dataset"),
+    "bs": ("data", "bs"),
+    "eval_bs": ("data", "eval_bs"),
+    "num_workers": ("data", "num_workers"),
+    "num_frames": ("data", "num_frames"),
+    "num_input_sketches": ("data", "num_input_sketches"),
+    "tight_frame_sampling": ("data", "tight_frame_sampling"),
+    "zeroshot_dataset_eval": ("data", "zeroshot_dataset_eval"),
+    "zeroshot_category_eval": ("data", "zeroshot_category_eval"),
+    "unified_sketch_dataset": ("data", "unified_sketch_dataset"),
+    "sketch_head": ("model", "sketch_head"),
+    "backbone": ("model", "backbone"),
+    "hidden_dim": ("model", "hidden_dim"),
+    "nheads": ("model", "nheads"),
+    "num_layers": ("model", "num_layers"),
+    "num_queries": ("model", "num_queries"),
+    "num_queries_per_frame": ("model", "num_queries_per_frame"),
+    "input_dropout": ("model", "input_dropout"),
+    "use_sketch_pos": ("model", "use_sketch_pos"),
+    "n_input_proj": ("model", "n_input_proj"),
+    "dropout": ("model", "dropout"),
+    "dim_feedforward": ("model", "dim_feedforward"),
+    "pre_norm": ("model", "pre_norm"),
+    "sketch_position_embedding": ("model", "sketch_position_embedding"),
+    "video_position_embedding": ("model", "video_position_embedding"),
+    "enc_layers": ("model", "enc_layers"),
+    "dec_layers": ("model", "dec_layers"),
+    "use_pallas_attention": ("model", "use_pallas_attention"),
+    "matcher": ("loss", "matcher"),
+    "set_cost_bbox": ("loss", "set_cost_bbox"),
+    "set_cost_giou": ("loss", "set_cost_giou"),
+    "set_cost_class": ("loss", "set_cost_class"),
+    "eos_coef": ("loss", "eos_coef"),
+    "seed": ("train", "seed"),
+    "log_interval": ("train", "log_interval"),
+    "val_interval": ("train", "val_interval"),
+    "save_interval": ("train", "save_interval"),
+    "debug": ("train", "debug"),
+    "eval_untrained": ("train", "eval_untrained"),
+    "log_dir": ("train", "log_dir"),
+    "checkpoint": ("train", "checkpoint"),
+    "results_dir": ("train", "results_dir"),
+    "resume": ("train", "resume"),
+    "resume_all": ("train", "resume_all"),
+    "start_iter": ("train", "start_iter"),
+    "num_iters": ("train", "num_iters"),
+    "early_stop_patience": ("train", "early_stop_patience"),
+    "lr": ("train", "lr"),
+    "lr_drop_step": ("train", "lr_drop_step"),
+    "wd": ("train", "wd"),
+    "optimizer": ("train", "optimizer"),
+    "scheduler": ("train", "scheduler"),
+    "freeze_backbone": ("train", "freeze_backbone"),
+    "bbox_type": ("eval", "bbox_type"),
+    "no_sort_results": ("eval", "no_sort_results"),
+}
+
+_BOOL_STORE_TRUE = {
+    "tight_frame_sampling", "zeroshot_dataset_eval", "zeroshot_category_eval",
+    "unified_sketch_dataset", "pre_norm", "debug", "eval_untrained",
+    "resume_all", "freeze_backbone", "no_sort_results", "use_pallas_attention",
+}
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    """Argparse parser mirroring the reference CLI (lib/configs.py:7-178)."""
+    defaults = SvolConfig()
+    p = argparse.ArgumentParser(description="svol_tpu: sketch-based video object localization")
+    for flag, (section, fname) in _FLAG_MAP.items():
+        default = getattr(getattr(defaults, section), fname)
+        if flag in _BOOL_STORE_TRUE:
+            p.add_argument(f"--{flag}", action="store_true", default=default)
+        elif flag in ("resume", "start_iter"):
+            typ = int if flag == "start_iter" else str
+            p.add_argument(f"--{flag}", type=typ, default=default)
+        else:
+            p.add_argument(f"--{flag}", type=type(default), default=default)
+    # negative-flag aliases matching the reference exactly
+    p.add_argument("--no_aux_loss", dest="aux_loss", action="store_false", default=True)
+    return p
+
+
+def config_from_args(argv: Optional[List[str]] = None) -> SvolConfig:
+    """Parse CLI flags into a SvolConfig (no global state)."""
+    args = build_arg_parser().parse_args(argv)
+    cfg = SvolConfig()
+    for flag, (section, fname) in _FLAG_MAP.items():
+        setattr(getattr(cfg, section), fname, getattr(args, flag))
+    cfg.loss.aux_loss = args.aux_loss
+    cfg.model.aux_loss = args.aux_loss
+    cfg.data.max_boxes_per_frame = cfg.model.num_queries_per_frame
+    cfg.validate()
+    return cfg
+
+
+def config_to_markdown(cfg: SvolConfig, max_str_len: int = 120) -> str:
+    """Markdown table of the flattened config, like the reference's rank-0
+    dump (configs.py:181-183, misc.py:226)."""
+    rows = []
+    for section_name in ("data", "model", "loss", "train", "eval"):
+        section = getattr(cfg, section_name)
+        for f in dataclasses.fields(section):
+            v = str(getattr(section, f.name))
+            if len(v) > max_str_len:
+                v = v[:max_str_len] + "..."
+            rows.append(f"| {section_name}.{f.name} | {v} |")
+    return "\n".join(["| key | value |", "|---|---|"] + rows)

@@ -1,0 +1,176 @@
+"""Cross-modal transformer — SVOL's core architecture, rebuilt batch-first.
+
+Per layer (reference math at lib/modeling/cross_modal_transformer.py:105-160):
+  1. sketch->video cross-attention where the single sketch token queries the
+     video sequence and the *attention weights* (head-averaged) gate the video
+     features: ``mem = LN(src_vid + att1 * src_vid)``  (:122-127).
+     The attention output itself is discarded — only q/k projections matter.
+  2. video self-attention + residual + LN, then MLP + residual + LN (:137-143).
+     NB: no key-padding mask here, faithfully matching the reference.
+  3. query-token self-attention + residual + LN (:145-149).
+  4. token->content cross-attention with the video key-padding mask, residual
+     + LN, then MLP + residual + LN (:151-158).
+
+The decoder state starts at zeros (:56) and is refined across layers; all
+per-layer outputs and the four attention maps are returned (:75-81).
+
+TPU notes: everything is batch-first (B, L, D) — no torch-style seq-first
+transposes; layers are materialized as separate Flax submodules (shapes are
+static, XLA fuses the small matmuls; a lax.scan over stacked params is not
+worth it at num_layers=2). The optional Pallas path fuses block 1's
+weights-as-gate pattern, which flash-attention kernels cannot produce since
+they never materialize attention weights.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import Array
+
+from svol_tpu.models.layers import (
+    LN_EPS,
+    AttentionWeightsOnly,
+    MultiheadAttention,
+    TransformerMLP,
+)
+
+
+class CrossModalTransformerLayer(nn.Module):
+    d_model: int = 256
+    nhead: int = 8
+    dim_feedforward: int = 2048
+    activation: str = "gelu"
+    dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        mem: Array,  # (B, L, D) video stream
+        src_skch: Array,  # (B, 1, D)
+        out: Array,  # (B, Q, D) query stream
+        vid_pad_mask: Array,  # (B, L) True = padded
+        vid_pos: Array,  # (B, L, D)
+        query_pos: Array,  # (B, Q, D)
+        deterministic: bool = True,
+    ):
+        ln = lambda name: nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name=name)
+
+        # --- (1) sketch->video gate -------------------------------------
+        k_gate = mem + vid_pos
+        if self.use_pallas:
+            from svol_tpu.ops.pallas.gated_attention import gated_cross_attention
+
+            att1, gated = gated_cross_attention(
+                self, src_skch, k_gate, mem, self.nhead, dtype=self.dtype
+            )
+            mem = ln("norm1")(mem + gated)
+        else:
+            att1 = AttentionWeightsOnly(
+                d_model=self.d_model, num_heads=self.nhead, dtype=self.dtype,
+                name="sketch_video_cross_attn",
+            )(src_skch, k_gate)  # (B, 1, L)
+            # weights broadcast over the feature dim: (B, L, 1) * (B, L, D)
+            mem = ln("norm1")(mem + att1.transpose(0, 2, 1) * mem)
+
+        # --- (2) video self-attention + MLP ------------------------------
+        qk = mem + vid_pos
+        attn_out, att2 = MultiheadAttention(
+            d_model=self.d_model, num_heads=self.nhead, dtype=self.dtype,
+            name="content_self_attn",
+        )(qk, qk, mem, deterministic=deterministic)
+        mem = ln("norm2")(attn_out + mem)
+        mem = ln("norm3")(
+            mem
+            + TransformerMLP(
+                hidden_features=self.dim_feedforward, out_features=self.d_model,
+                activation=self.activation, dtype=self.dtype, name="mlp1",
+            )(mem)
+        )
+
+        # --- (3) query-token self-attention ------------------------------
+        qk = out + query_pos
+        attn_out, att3 = MultiheadAttention(
+            d_model=self.d_model, num_heads=self.nhead, dtype=self.dtype,
+            name="token_self_attn",
+        )(qk, qk, out, deterministic=deterministic)
+        out = ln("norm4")(attn_out + out)
+
+        # --- (4) token->content cross-attention + MLP ---------------------
+        attn_out, att4 = MultiheadAttention(
+            d_model=self.d_model, num_heads=self.nhead, dtype=self.dtype,
+            name="content_token_cross_attn",
+        )(out + query_pos, mem + vid_pos, mem,
+          key_padding_mask=vid_pad_mask, deterministic=deterministic)
+        out = ln("norm5")(out + attn_out)
+        out = ln("norm6")(
+            out
+            + TransformerMLP(
+                hidden_features=self.dim_feedforward, out_features=self.d_model,
+                activation=self.activation, dtype=self.dtype, name="mlp2",
+            )(out)
+        )
+
+        return mem, out, att1, att2, att3, att4
+
+
+class CrossModalTransformer(nn.Module):
+    """Stack of CrossModalTransformerLayers (cross_modal_transformer.py:9-81).
+
+    Returns (outputs, att1, att2, att3, att4) where outputs is
+    (num_layers, B, Q, D) — the per-layer query states feeding SVANet's aux
+    losses — and att_i are the stacked per-layer attention maps.
+    """
+
+    d_model: int = 256
+    nhead: int = 8
+    num_layers: int = 2
+    dim_feedforward: int = 2048
+    activation: str = "gelu"
+    dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        src_vid: Array,  # (B, L, D)
+        src_skch: Array,  # (B, 1, D)
+        vid_pad_mask: Array,  # (B, L) True = padded
+        vid_pos: Array,  # (B, L, D)
+        query_embed: Array,  # (Q, D) learned queries
+        deterministic: bool = True,
+    ):
+        B = src_vid.shape[0]
+        query_pos = jnp.broadcast_to(
+            query_embed[None], (B,) + query_embed.shape
+        ).astype(src_vid.dtype)
+        out = jnp.zeros_like(query_pos)  # decoder state starts at zeros (:56)
+        mem = src_vid
+
+        outputs, a1s, a2s, a3s, a4s = [], [], [], [], []
+        for i in range(self.num_layers):
+            mem, out, a1, a2, a3, a4 = CrossModalTransformerLayer(
+                d_model=self.d_model,
+                nhead=self.nhead,
+                dim_feedforward=self.dim_feedforward,
+                activation=self.activation,
+                dtype=self.dtype,
+                use_pallas=self.use_pallas,
+                name=f"layer{i}",
+            )(mem, src_skch, out, vid_pad_mask, vid_pos, query_pos,
+              deterministic=deterministic)
+            outputs.append(out)
+            a1s.append(a1)
+            a2s.append(a2)
+            a3s.append(a3)
+            a4s.append(a4)
+
+        return (
+            jnp.stack(outputs),  # (layers, B, Q, D)
+            jnp.stack(a1s),  # (layers, B, 1, L)
+            jnp.stack(a2s),  # (layers, B, L, L)
+            jnp.stack(a3s),  # (layers, B, Q, Q)
+            jnp.stack(a4s),  # (layers, B, Q, L)
+        )

@@ -1,0 +1,218 @@
+"""Shared Flax layers with PyTorch-parity semantics.
+
+These deliberately reproduce the exact math of ``torch.nn.MultiheadAttention``
+(pre-scaled queries, additive -inf key-padding mask, attention weights
+*averaged over heads* — the detail SVOL's gated cross-attention depends on,
+``lib/modeling/cross_modal_transformer.py:124-125``) and of the reference's
+small MLP / projection blocks, but batch-first and jit-friendly.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import Array
+
+# torch.nn.LayerNorm default eps (flax default is 1e-6)
+LN_EPS = 1e-5
+
+
+def get_activation(name: str) -> Callable[[Array], Array]:
+    if name == "relu":
+        return nn.relu
+    if name == "gelu":
+        return nn.gelu
+    if name == "glu":
+        return nn.glu
+    raise ValueError(f"activation should be relu/gelu/glu, not {name}")
+
+
+class MultiheadAttention(nn.Module):
+    """torch.nn.MultiheadAttention-equivalent, batch-first.
+
+    Returns (output, weights) where weights are averaged over heads, matching
+    torch's default ``average_attn_weights=True`` which the reference relies
+    on for its attention-as-gate trick.
+    """
+
+    d_model: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        query: Array,  # (B, Lq, D)
+        key: Array,  # (B, Lk, D)
+        value: Array,  # (B, Lk, D)
+        key_padding_mask: Optional[Array] = None,  # (B, Lk) True = padded
+        deterministic: bool = True,
+    ) -> tuple[Array, Array]:
+        head_dim = self.d_model // self.num_heads
+        assert head_dim * self.num_heads == self.d_model
+
+        dense = lambda name: nn.Dense(
+            self.d_model,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name=name,
+        )
+        q = dense("q_proj")(query)
+        k = dense("k_proj")(key)
+        v = dense("v_proj")(value)
+
+        B, Lq, _ = q.shape
+        Lk = k.shape[1]
+        # (B, H, L, hd)
+        q = q.reshape(B, Lq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(B, Lk, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(B, Lk, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * (head_dim**-0.5), k,
+            preferred_element_type=jnp.float32,
+        )
+        if key_padding_mask is not None:
+            neg = jnp.finfo(jnp.float32).min
+            logits = jnp.where(key_padding_mask[:, None, None, :], neg, logits)
+        weights = nn.softmax(logits.astype(jnp.float32), axis=-1)
+        if self.dtype is not None:
+            weights = weights.astype(self.dtype)
+        if self.dropout > 0.0 and not deterministic:
+            weights = nn.Dropout(rate=self.dropout)(weights, deterministic=False)
+
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, self.d_model)
+        out = dense("out_proj")(out)
+
+        avg_weights = weights.mean(axis=1)  # (B, Lq, Lk) — torch default
+        return out, avg_weights
+
+
+class AttentionWeightsOnly(nn.Module):
+    """Query/key attention that produces only the (head-averaged) weights.
+
+    SVOL's first cross-attention block discards the attention *output* and
+    uses only the weights as a gate (cross_modal_transformer.py:124-126), so
+    the value/out projections are dead parameters in the reference. We simply
+    don't create them — same math, fewer FLOPs and params.
+    """
+
+    d_model: int
+    num_heads: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, query: Array, key: Array) -> Array:  # (B,Lq,D),(B,Lk,D)
+        head_dim = self.d_model // self.num_heads
+        dense = lambda name: nn.Dense(
+            self.d_model,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name=name,
+        )
+        q = dense("q_proj")(query)
+        k = dense("k_proj")(key)
+        B, Lq, _ = q.shape
+        Lk = k.shape[1]
+        q = q.reshape(B, Lq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(B, Lk, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * (head_dim**-0.5), k,
+            preferred_element_type=jnp.float32,
+        )
+        weights = nn.softmax(logits.astype(jnp.float32), axis=-1)
+        if self.dtype is not None:
+            weights = weights.astype(self.dtype)
+        return weights.mean(axis=1)  # (B, Lq, Lk)
+
+
+class TransformerMLP(nn.Module):
+    """ViT-style MLP: fc1 -> act -> fc2 (cross_modal_transformer.py:163-179)."""
+
+    hidden_features: int
+    out_features: int
+    activation: str = "gelu"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.Dense(
+            self.hidden_features,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="fc1",
+        )(x)
+        x = get_activation(self.activation)(x)
+        x = nn.Dense(
+            self.out_features,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="fc2",
+        )(x)
+        return x
+
+
+class BoxHeadMLP(nn.Module):
+    """DETR-style head MLP with ReLU between layers (svanet.py:144-156)."""
+
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        for i in range(self.num_layers):
+            out = self.output_dim if i == self.num_layers - 1 else self.hidden_dim
+            x = nn.Dense(out, dtype=self.dtype, name=f"layer{i}")(x)
+            if i < self.num_layers - 1:
+                x = nn.relu(x)
+        return x
+
+
+class LinearLayer(nn.Module):
+    """LayerNorm -> Dropout -> Linear [-> ReLU] (svanet.py:159-181)."""
+
+    out_dim: int
+    layer_norm: bool = True
+    dropout: float = 0.1
+    relu: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        if self.layer_norm:
+            x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
+        x = nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="linear")(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class InputProjection(nn.Module):
+    """Stack of n LinearLayers projecting backbone features to hidden_dim
+    (svanet.py:49-60: relu on all but the last projection layer)."""
+
+    hidden_dim: int
+    n_layers: int = 2
+    dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        relu_flags = [True] * self.n_layers
+        relu_flags[self.n_layers - 1] = False
+        for i in range(self.n_layers):
+            x = LinearLayer(
+                out_dim=self.hidden_dim,
+                layer_norm=True,
+                dropout=self.dropout,
+                relu=relu_flags[i],
+                dtype=self.dtype,
+                name=f"proj{i}",
+            )(x, deterministic=deterministic)
+        return x
