@@ -1,0 +1,113 @@
+"""Forward-shape and jit smoke tests for the full model on tiny configs."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svol_tpu.config import DataConfig, ModelConfig, SvolConfig
+from svol_tpu.losses.criterion import build_criterion
+from svol_tpu.models import build_model
+
+T, K, HID = 2, 3, 32
+Q = T * K
+IMG = 64  # ResNet stride 32 -> 2x2 map -> 4 tokens/frame
+
+
+def tiny_config(backbone="resnet", head="svanet", **model_kw):
+    return SvolConfig(
+        data=DataConfig(num_frames=T, max_boxes_per_frame=K, image_size=IMG),
+        model=ModelConfig(
+            backbone=backbone, sketch_head=head, hidden_dim=HID, nheads=4,
+            num_layers=2, num_queries=Q, num_queries_per_frame=K,
+            cmt_dim_feedforward=64, dim_feedforward=64,
+            compute_dtype="float32", **model_kw,
+        ),
+    )
+
+
+def make_inputs(rng, B=2, img=IMG):
+    return dict(
+        src_sketch=jnp.asarray(rng.uniform(size=(B, 1, img, img, 3)), jnp.float32),
+        src_video=jnp.asarray(rng.uniform(size=(B, T, img, img, 3)), jnp.float32),
+        src_sketch_mask=jnp.ones((B, 1), jnp.float32),
+        src_video_mask=jnp.ones((B, T), jnp.float32),
+    )
+
+
+def test_resnet_svanet_forward_shapes(rng):
+    cfg = tiny_config()
+    model = build_model(cfg)
+    inputs = make_inputs(rng)
+    variables = model.init(jax.random.PRNGKey(0), **inputs)
+    out = model.apply(variables, **inputs)
+    B = 2
+    assert out["pred_logits"].shape == (B, Q, 2)
+    assert out["pred_boxes"].shape == (B, Q, 4)
+    assert out["aux_logits"].shape == (1, B, Q, 2)
+    boxes = np.asarray(out["pred_boxes"])
+    assert (boxes >= 0).all() and (boxes <= 1).all()  # sigmoid range
+    # attention maps: 4 tokens/frame at 64px -> L = T*4 = 8
+    assert out["attention_maps"]["att1"].shape == (2, B, 1, T * 4)
+
+
+def test_vit_svanet_forward_shapes(rng):
+    cfg = tiny_config(backbone="vit")
+    cfg.data.image_size = 32
+    model = build_model(cfg)
+    inputs = make_inputs(rng, img=32)
+    variables = model.init(jax.random.PRNGKey(0), **inputs)
+    out = model.apply(variables, **inputs)
+    assert out["pred_logits"].shape == (2, Q, 2)
+    # ViT path: 1 token per frame
+    assert out["attention_maps"]["att4"].shape == (2, 2, Q, T)
+
+
+def test_forward_jits_and_matches_eager(rng):
+    cfg = tiny_config()
+    model = build_model(cfg)
+    inputs = make_inputs(rng)
+    variables = model.init(jax.random.PRNGKey(0), **inputs)
+
+    eager = model.apply(variables, **inputs)
+    jitted = jax.jit(lambda v, i: model.apply(v, **i))(variables, inputs)
+    np.testing.assert_allclose(
+        np.asarray(eager["pred_boxes"]), np.asarray(jitted["pred_boxes"]), atol=1e-5
+    )
+
+
+def test_model_plus_criterion_end_to_end(rng):
+    cfg = tiny_config()
+    model = build_model(cfg)
+    crit = build_criterion(cfg)
+    inputs = make_inputs(rng)
+    variables = model.init(jax.random.PRNGKey(0), **inputs)
+
+    B = 2
+    boxes = np.zeros((B, T, K, 4), np.float32)
+    valid = np.zeros((B, T, K), bool)
+    boxes[:, :, 0] = [0.5, 0.5, 0.2, 0.2]
+    valid[:, :, 0] = True
+
+    @jax.jit
+    def run(v):
+        out = model.apply(v, **inputs)
+        return crit(out, {"boxes": jnp.asarray(boxes), "box_valid": jnp.asarray(valid)})
+
+    losses = run(variables)
+    for k in ("loss_label", "loss_bbox", "loss_giou", "loss_overall",
+              "loss_label_0", "loss_bbox_0"):
+        assert np.isfinite(float(losses[k])), k
+
+
+def test_padded_frames_are_background_only(rng):
+    """Short-video padding: masked frames have no valid boxes; all their
+    queries must be matched to background (svol_dataset.py:310-319 mask
+    semantics)."""
+    cfg = tiny_config()
+    model = build_model(cfg)
+    inputs = make_inputs(rng)
+    # second frame padded
+    inputs["src_video_mask"] = jnp.asarray([[1.0, 0.0]] * 2)
+    variables = model.init(jax.random.PRNGKey(0), **inputs)
+    out = model.apply(variables, **inputs)
+    assert np.isfinite(np.asarray(out["pred_boxes"])).all()
