@@ -1,0 +1,257 @@
+"""SVOL dataset: (sketch, video clip) pairs with dense static-shape targets.
+
+Functional equivalent of lib/dataset/svol_dataset.py:15-329 with the ragged
+list-of-dict targets replaced by fixed arrays (JAX needs static shapes):
+
+    video      (T, H, W, 3) float32 in [0, 1]   (+ frame_valid (T,))
+    sketch     (1, H, W, 3) float32 in [0, 1]
+    boxes      (T, K, 4)    normalized cxcywh   (+ box_valid (T, K))
+
+K = num_queries_per_frame caps boxes per frame (10 covers ImageNet-VID).
+Frame axis ordering follows the reference's matcher alignment: target frame
+t is the t-th *annotated sampled frame* (the enumerate at
+svol_dataset.py:269), which equals the t-th sampled frame whenever the
+annotations cover every frame (they do for ImageNet-VID).
+
+Decoding uses OpenCV (libjpeg-turbo) instead of PIL — measurably faster for
+the N*T JPEG decodes per step that dominate the reference's dataloader time
+(train.py:213).
+
+Augmentation: the reference random-h-flips frames *without* flipping the
+target boxes (svol_dataset.py:218-232 — an augmentation/label mismatch noted
+in SURVEY.md §3.4). We flip boxes consistently by default;
+``flip_boxes=False`` restores reference behavior for strict comparisons.
+"""
+from __future__ import annotations
+
+import os
+import random
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from svol_tpu.config import SvolConfig
+from svol_tpu.data.annotations import (
+    build_pair_list,
+    category_of,
+    load_json,
+    sample_frame_indices,
+)
+
+
+def _imread_rgb(path: str, size: int) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def xyxy_abs_to_cxcywh_norm(bbox, w: float, h: float) -> np.ndarray:
+    x0, y0, x1, y1 = bbox
+    return np.array(
+        [(x0 + x1) / 2 / w, (y0 + y1) / 2 / h, (x1 - x0) / w, (y1 - y0) / h],
+        dtype=np.float32,
+    )
+
+
+@dataclass
+class SVOLExample:
+    """One (sketch, video) item: arrays for the device + host metadata."""
+
+    video: np.ndarray  # (T, H, W, 3) float32
+    sketch: np.ndarray  # (1, H, W, 3) float32
+    video_mask: np.ndarray  # (T,) float32, 1 = valid
+    sketch_mask: np.ndarray  # (1,) float32
+    boxes: np.ndarray  # (T, K, 4) float32 cxcywh normalized
+    box_valid: np.ndarray  # (T, K) bool
+    meta: Dict[str, Any] = field(default_factory=dict)
+
+
+class SVOLDataset:
+    def __init__(
+        self,
+        root: str,
+        anno_root: str,
+        phase: str = "train",
+        num_frames: int = 32,
+        max_boxes_per_frame: int = 10,
+        image_size: int = 224,
+        video_dataset: str = "imagenet_vid",
+        sketch_dataset: str = "sketchy",
+        tight_frame_sampling: bool = False,
+        zeroshot_dataset_eval: bool = False,
+        zeroshot_category_eval: bool = False,
+        unified_sketch_dataset: bool = False,
+        hflip_prob: float = 0.5,
+        flip_boxes: bool = True,
+        seed: int = 1,
+    ):
+        assert phase in ("train", "val", "test")
+        self.phase = phase
+        self.T = num_frames
+        self.K = max_boxes_per_frame
+        self.image_size = image_size
+        self.tight = tight_frame_sampling
+        self.hflip_prob = hflip_prob if phase == "train" else 0.0
+        self.flip_boxes = flip_boxes
+        self.seed = seed
+        self.video_dataset = video_dataset
+        self.sketch_dataset = sketch_dataset
+        self.unified = unified_sketch_dataset
+        self.zeroshot = zeroshot_dataset_eval or zeroshot_category_eval
+
+        folder = "all" if self.zeroshot else (
+            "val" if phase in ("val", "test") else "train"
+        )
+        if self.zeroshot:
+            self.video_root = os.path.join(root, video_dataset, "Data", "VID")
+        else:
+            self.video_root = os.path.join(root, video_dataset, "Data", "VID", folder)
+        self.sketch_root = root if self.unified else os.path.join(root, sketch_dataset)
+
+        self.annos = load_json(
+            os.path.join(root, video_dataset, "Annotations", "VID", f"{folder}.json")
+        )
+        self.pairs = build_pair_list(
+            root, anno_root, phase,
+            video_dataset=video_dataset, sketch_dataset=sketch_dataset,
+            zeroshot_dataset_eval=zeroshot_dataset_eval,
+            zeroshot_category_eval=zeroshot_category_eval,
+            unified_sketch_dataset=unified_sketch_dataset, seed=seed,
+        )
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    # -- paths ------------------------------------------------------------
+    def _video_dir(self, video_id: str) -> str:
+        if self.zeroshot:
+            for sub in ("train", "val"):
+                d = os.path.join(self.video_root, sub, video_id)
+                if os.path.isdir(d):
+                    return d
+            raise FileNotFoundError(video_id)
+        return os.path.join(self.video_root, video_id)
+
+    def _sketch_path(self, sketch_id: str, sketch_ds: str) -> str:
+        category = category_of(sketch_id)
+        if self.unified:
+            return os.path.join(self.sketch_root, sketch_ds, category, sketch_id + ".png")
+        return os.path.join(self.sketch_root, category, sketch_id + ".png")
+
+    # -- item -------------------------------------------------------------
+    def __getitem__(self, idx: int) -> SVOLExample:
+        video_id, sketch_id, sketch_ds = self.pairs[idx]
+        category = category_of(sketch_id)
+        vid_annos = self.annos[video_id]
+        total_frames = vid_annos["num_frames"]
+        w, h = vid_annos["size"]
+
+        sampled = sample_frame_indices(total_frames, self.T, self.tight)
+        rng = random.Random(self.seed * 1_000_003 + idx if self.phase == "train" else idx)
+
+        # decode frames + sketch
+        video_dir = self._video_dir(video_id)
+        frames = np.stack([
+            _imread_rgb(os.path.join(video_dir, f"{i:06d}.JPEG"), self.image_size)
+            for i in sampled
+        ]).astype(np.float32) / 255.0
+        sketch = _imread_rgb(
+            self._sketch_path(sketch_id, sketch_ds), self.image_size
+        ).astype(np.float32)[None] / 255.0
+
+        flip_video = rng.random() < self.hflip_prob
+        flip_sketch = rng.random() < self.hflip_prob
+        if flip_video:
+            frames = frames[:, :, ::-1, :].copy()
+        if flip_sketch:
+            sketch = sketch[:, :, ::-1, :].copy()
+
+        # dense targets over annotated sampled frames
+        sampled_set = set(sampled)
+        boxes = np.zeros((self.T, self.K, 4), np.float32)
+        box_valid = np.zeros((self.T, self.K), bool)
+        frame_keys: List[int] = []
+        t = 0
+        for frame_key, anno_list in vid_annos["frames"].items():
+            if int(frame_key) not in sampled_set or t >= self.T:
+                continue
+            frame_keys.append(int(frame_key))
+            n = 0
+            for obj in anno_list:
+                if obj["label"] != category or n >= self.K:
+                    continue
+                b = xyxy_abs_to_cxcywh_norm(obj["bbox"], w, h)
+                if flip_video and self.flip_boxes:
+                    b[0] = 1.0 - b[0]
+                boxes[t, n] = b
+                box_valid[t, n] = True
+                n += 1
+            t += 1
+
+        n_valid_frames = len(frames)
+        video = np.zeros((self.T, self.image_size, self.image_size, 3), np.float32)
+        video[:n_valid_frames] = frames
+        video_mask = np.zeros((self.T,), np.float32)
+        video_mask[:n_valid_frames] = 1.0
+
+        return SVOLExample(
+            video=video,
+            sketch=sketch,
+            video_mask=video_mask,
+            sketch_mask=np.ones((1,), np.float32),
+            boxes=boxes,
+            box_valid=box_valid,
+            meta={
+                "video": video_id,
+                "sketch": sketch_id,
+                "category": category,
+                "size": [w, h],
+                "frame_keys": frame_keys,
+                "total_boxes": int(box_valid.sum()),
+            },
+        )
+
+
+def build_dataset(config: SvolConfig, phase: str) -> SVOLDataset:
+    d = config.data
+    return SVOLDataset(
+        root=d.root,
+        anno_root=d.anno_root,
+        phase=phase,
+        num_frames=d.num_frames,
+        max_boxes_per_frame=d.max_boxes_per_frame,
+        image_size=d.image_size,
+        video_dataset=d.video_dataset,
+        sketch_dataset=d.sketch_dataset,
+        tight_frame_sampling=d.tight_frame_sampling,
+        zeroshot_dataset_eval=d.zeroshot_dataset_eval,
+        zeroshot_category_eval=d.zeroshot_category_eval,
+        unified_sketch_dataset=d.unified_sketch_dataset,
+        hflip_prob=d.hflip_prob,
+        seed=config.train.seed,
+    )
+
+
+def collate(examples: List[SVOLExample]) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
+    """Stack examples into batch arrays + side-band metadata list.
+
+    Replaces collate_fn/prepare_batch_inputs (svol_dataset.py:310-329); no
+    ragged padding needed since every example is already fixed-shape.
+    """
+    batch = {
+        "src_sketch": np.stack([e.sketch for e in examples]),
+        "src_video": np.stack([e.video for e in examples]),
+        "src_sketch_mask": np.stack([e.sketch_mask for e in examples]),
+        "src_video_mask": np.stack([e.video_mask for e in examples]),
+    }
+    targets = {
+        "boxes": np.stack([e.boxes for e in examples]),
+        "box_valid": np.stack([e.box_valid for e in examples]),
+    }
+    meta = [e.meta for e in examples]
+    return batch, {"targets": targets, "meta": meta}

@@ -1,0 +1,192 @@
+"""Data layer tests on the synthetic fixture dataset (real file IO)."""
+import os
+
+import numpy as np
+import pytest
+
+from svol_tpu.config import DataConfig, ModelConfig, SvolConfig
+from svol_tpu.data.annotations import (
+    CLASSES,
+    build_pair_list,
+    category_of,
+    read_pair_csv,
+    sample_frame_indices,
+)
+from svol_tpu.data.dataset import SVOLDataset, collate
+from svol_tpu.data.pipeline import build_loader, threaded_batches
+from svol_tpu.data.synthetic import CATEGORIES, generate_synthetic_dataset
+
+T, K, IMG = 8, 5, 64
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("svol_fixture"))
+    generate_synthetic_dataset(root, frames_per_video=12)
+    return root
+
+
+def make_cfg(root):
+    return SvolConfig(
+        data=DataConfig(
+            root=root, anno_root=os.path.join(root, "annos"),
+            num_frames=T, max_boxes_per_frame=K, image_size=IMG,
+            bs=4, eval_bs=4, num_workers=2,
+        ),
+        model=ModelConfig(num_queries=T * K, num_queries_per_frame=K),
+    )
+
+
+def test_category_of():
+    assert category_of("airplane0598") == "airplane"
+    assert category_of("airplane_12") == "airplane"
+    assert category_of("airplane_229") == "airplane"
+    assert category_of("tu_berlin_style") == "tu_berlin_style"
+
+
+def test_class_vocab_sizes():
+    # svol_dataset.py:46-52
+    assert len(CLASSES["sketchy"]) == 19
+    assert len(CLASSES["tu_berlin"]) == 21
+    assert len(CLASSES["quickdraw"]) == 24
+    assert len(CLASSES["union"]) == 25
+    assert len(CLASSES["intersection"]) == 17
+
+
+def test_frame_sampling():
+    # short video, loose sampling: keep all frames (svol_dataset.py:188-189)
+    assert sample_frame_indices(5, 8, tight=False) == [0, 1, 2, 3, 4]
+    # long video: strided with round()
+    idxs = sample_frame_indices(64, 32, tight=False)
+    assert len(idxs) == 32 and idxs[0] == 0 and idxs[-1] == 62
+    # tight: duplicates allowed, never out of range
+    idxs = sample_frame_indices(5, 8, tight=True)
+    assert len(idxs) == 8 and max(idxs) <= 4
+
+
+def test_pair_list_and_csv(fixture_root):
+    pairs = build_pair_list(
+        fixture_root, os.path.join(fixture_root, "annos"), "train",
+        sketch_dataset="sketchy",
+    )
+    # only fixture categories present in the splits
+    assert len(pairs) == len(CATEGORIES) * 2 * 2  # videos x sketches
+    # deterministic shuffle
+    again = build_pair_list(
+        fixture_root, os.path.join(fixture_root, "annos"), "train",
+        sketch_dataset="sketchy",
+    )
+    assert pairs == again
+
+    csv_pairs = read_pair_csv(
+        os.path.join(fixture_root, "annos", "imagenet_vid_sketchy_val.csv")
+    )
+    sk, vid = csv_pairs[0]
+    assert vid.startswith("SYN_") and not sk.startswith("SYN_")
+
+
+def test_dataset_item_shapes(fixture_root):
+    cfg = make_cfg(fixture_root)
+    ds = SVOLDataset(
+        root=fixture_root, anno_root=os.path.join(fixture_root, "annos"),
+        phase="train", num_frames=T, max_boxes_per_frame=K, image_size=IMG,
+    )
+    ex = ds[0]
+    assert ex.video.shape == (T, IMG, IMG, 3)
+    assert ex.sketch.shape == (1, IMG, IMG, 3)
+    assert ex.boxes.shape == (T, K, 4)
+    assert ex.box_valid.shape == (T, K)
+    assert 0.0 <= ex.video.min() and ex.video.max() <= 1.0
+    # every sampled frame of the fixture has exactly one box
+    assert ex.box_valid[:, 0].all() and not ex.box_valid[:, 1:].any()
+    # boxes normalized cxcywh in [0,1]
+    assert (ex.boxes[ex.box_valid] >= 0).all() and (ex.boxes[ex.box_valid] <= 1).all()
+    assert ex.meta["video"].startswith("SYN_train_")
+    assert len(ex.meta["frame_keys"]) == T
+
+
+def test_dataset_short_video_padding(fixture_root):
+    ds = SVOLDataset(
+        root=fixture_root, anno_root=os.path.join(fixture_root, "annos"),
+        phase="train", num_frames=16, max_boxes_per_frame=K, image_size=IMG,
+    )
+    ex = ds[0]  # fixture videos have 12 frames < 16
+    assert ex.video_mask.sum() == 12
+    assert not ex.box_valid[12:].any()
+
+
+def test_box_alignment_with_pixels(fixture_root):
+    """The fixture rectangle is axis-aligned and solid: the annotated cxcywh
+    box must coincide with the colored region (validates normalization and
+    the flip-consistency fix)."""
+    ds = SVOLDataset(
+        root=fixture_root, anno_root=os.path.join(fixture_root, "annos"),
+        phase="val", num_frames=T, max_boxes_per_frame=K, image_size=IMG,
+        hflip_prob=0.0,
+    )
+    ex = ds[0]
+    frame = ex.video[0]
+    cx, cy, w, h = ex.boxes[0, 0]
+    ys, xs = np.where(frame.std(axis=-1) > 0.1)  # colored = non-gray pixels
+    assert len(xs) > 0
+    got_cx = (xs.min() + xs.max() + 1) / 2 / IMG
+    got_cy = (ys.min() + ys.max() + 1) / 2 / IMG
+    assert abs(got_cx - cx) < 0.04 and abs(got_cy - cy) < 0.04
+
+
+def test_flip_consistency(fixture_root):
+    """With flip_boxes=True (default), a flipped frame's box must cover the
+    flipped pixels."""
+    ds = SVOLDataset(
+        root=fixture_root, anno_root=os.path.join(fixture_root, "annos"),
+        phase="train", num_frames=T, max_boxes_per_frame=K, image_size=IMG,
+        hflip_prob=1.0, flip_boxes=True,
+    )
+    ex = ds[0]
+    frame = ex.video[0]
+    cx = ex.boxes[0, 0, 0]
+    ys, xs = np.where(frame.std(axis=-1) > 0.1)
+    got_cx = (xs.min() + xs.max() + 1) / 2 / IMG
+    assert abs(got_cx - cx) < 0.04
+
+
+def test_threaded_loader(fixture_root):
+    cfg = make_cfg(fixture_root)
+    loader = build_loader(cfg, "val", backend="threads")
+    batch, extra = next(iter(loader))
+    assert batch["src_video"].shape == (4, T, IMG, IMG, 3)
+    assert extra["targets"]["boxes"].shape == (4, T, K, 4)
+    assert len(extra["meta"]) == 4
+    # full epoch, deterministic order
+    n = sum(b["src_video"].shape[0] for b, _ in build_loader(cfg, "val", backend="threads"))
+    ds = SVOLDataset(
+        root=fixture_root, anno_root=os.path.join(fixture_root, "annos"),
+        phase="val", num_frames=T, max_boxes_per_frame=K, image_size=IMG,
+    )
+    assert n == len(ds)
+
+
+def test_threaded_loader_sharding(fixture_root):
+    cfg = make_cfg(fixture_root)
+    seen = []
+    for shard in range(2):
+        for _, extra in threaded_batches(
+            SVOLDataset(
+                root=fixture_root, anno_root=os.path.join(fixture_root, "annos"),
+                phase="val", num_frames=T, max_boxes_per_frame=K, image_size=IMG,
+            ),
+            batch_size=4, shard_index=shard, shard_count=2,
+        ):
+            seen.extend(m["video"] + m["sketch"] for m in extra["meta"])
+    # shards partition the dataset without overlap
+    assert len(seen) == len(set(seen))
+
+
+def test_grain_train_loader(fixture_root):
+    cfg = make_cfg(fixture_root)
+    it = build_loader(cfg, "train", backend="grain")
+    b1 = next(it)
+    b2 = next(it)
+    assert b1["src_video"].shape == (4, T, IMG, IMG, 3)
+    assert b1["boxes"].shape == (4, T, K, 4)
+    assert not np.array_equal(b1["src_video"], b2["src_video"])
