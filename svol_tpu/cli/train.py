@@ -1,0 +1,184 @@
+"""Training entry (functional equivalent of train.py:36-395).
+
+Flow: mesh plan -> model/criterion/state -> grain loader (per-host sharded)
+-> iteration loop of one fused jit step -> periodic validation via the
+inference path -> best/periodic Orbax checkpoints -> early stopping on
+SVOL-full-mIoU@R1 (train.py:297,324-352).
+
+Differences from the reference, by design:
+  * no DDP wrapper / barriers — SPMD jit over a Mesh (parallel/mesh.py)
+  * no apex AMP — bf16 compute policy (train/state.py)
+  * matcher+loss inside the same jit as forward/backward — no host syncs
+  * phase timing meters: the fused step can't split forward/backward, so
+    'model_step_time' replaces the forward/backward pair (train.py:213-235);
+    dataloading/prepare meters keep their names.
+
+Run:  python -m svol_tpu.cli.train --root ... --anno_root ... [flags]
+"""
+from __future__ import annotations
+
+import pprint
+import time
+from collections import defaultdict
+from typing import Optional
+
+import jax
+import numpy as np
+
+from svol_tpu.config import SvolConfig, config_from_args, config_to_markdown
+from svol_tpu.cli.infer import inference
+from svol_tpu.data.pipeline import build_loader
+from svol_tpu.losses.criterion import build_criterion
+from svol_tpu.models import build_model
+from svol_tpu.parallel import make_mesh_plan
+from svol_tpu.train.checkpoints import (
+    best_checkpoint_name,
+    periodic_checkpoint_name,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from svol_tpu.train.state import count_parameters, create_train_state
+from svol_tpu.train.steps import make_eval_step, make_train_step
+from svol_tpu.utils import AverageMeter, cur_time, setup_logger
+
+
+def train_val(config: SvolConfig, logger) -> None:
+    plan = make_mesh_plan(config.train.dp_devices)
+    logger.info(f"mesh: {plan.mesh} (DP over {plan.data_axis_size} devices)")
+
+    process_index = jax.process_index()
+    process_count = jax.process_count()
+
+    model = build_model(config)
+    criterion = build_criterion(config)
+
+    train_iter = iter(build_loader(
+        config, "train", shard_index=process_index, shard_count=process_count,
+    ))
+    val_loader_factory = lambda: build_loader(config, "val", backend="threads")
+
+    first = next(train_iter)
+    sample_batch = {k: first[k] for k in
+                    ("src_sketch", "src_video", "src_sketch_mask", "src_video_mask")}
+    state = create_train_state(
+        config, model, jax.random.PRNGKey(config.train.seed), sample_batch
+    )
+    state = plan.replicate(state)
+    n_params = count_parameters(state.params)
+    logger.info(f"model parameters: {n_params / 1e6:.2f}M")
+
+    if config.train.resume:
+        state = restore_checkpoint(
+            config.train.resume, state, restore_all=config.train.resume_all
+        )
+        logger.info(f"resumed from {config.train.resume} at step {int(state.step)}")
+
+    train_step = make_train_step(config, criterion)
+    eval_step = make_eval_step(config, criterion)
+    rng = jax.random.PRNGKey(config.train.seed)
+
+    time_meters = defaultdict(AverageMeter)
+    loss_meters = defaultdict(AverageMeter)
+    best_metric = 0.0
+    early_stop_count = 0
+    start_iter = int(state.step)
+    if config.train.eval_untrained:
+        start_iter = -1
+
+    pending = first
+    tictoc = time.time()
+    for iter_i in range(max(start_iter, 0), config.train.num_iters):
+        if pending is not None:
+            batch = pending
+            pending = None
+        else:
+            batch = next(train_iter)
+        time_meters["dataloading_time"].update(time.time() - tictoc)
+        tictoc = time.time()
+
+        device_batch = plan.shard_batch(dict(batch))
+        time_meters["prepare_inputs_time"].update(time.time() - tictoc)
+        tictoc = time.time()
+
+        state, metrics = train_step(state, device_batch, rng)
+        metrics = {k: float(v) for k, v in metrics.items()}
+        time_meters["model_step_time"].update(time.time() - tictoc)
+
+        for k, v in metrics.items():
+            loss_meters[k].update(v)
+
+        if iter_i % config.train.log_interval == 0:
+            time_stats = "\n".join(
+                f"\t> {k} {v.avg:.4f}" for k, v in time_meters.items()
+            )
+            loss_str = "\n".join(
+                f"\t> {k} {v.avg:.4f}" for k, v in loss_meters.items()
+            )
+            logger.info(
+                f"Training Logs\n[Iter] {iter_i:06d}\n"
+                f"[Time]\n{time_stats}\n[Loss]\n{loss_str}\n"
+            )
+
+        if (
+            config.train.save_interval > 0
+            and (iter_i + 1) % config.train.save_interval == 0
+            and process_index == 0
+        ):
+            save_checkpoint(
+                config.train.checkpoint,
+                periodic_checkpoint_name(config, iter_i),
+                state, config,
+            )
+
+        if (iter_i + 1) % config.train.val_interval == 0 or config.train.debug:
+            results_filename = f"{cur_time()}_{config.run_tag('val')}.jsonl"
+            metrics_out, eval_loss_meters, _ = inference(
+                config, state, eval_step, val_loader_factory(),
+                results_filename, logger=logger,
+            )
+            cur_metric = metrics_out["brief"]["SVOL-full-mIoU@R1"]
+            logger.info(
+                f"\n>>>>> Evaluation\n[Iter] {iter_i + 1:03d}\n"
+                f"[Metrics]\n{pprint.pformat(metrics_out['brief'], indent=4)}\n"
+            )
+            if cur_metric > best_metric:
+                early_stop_count = 0
+                best_metric = cur_metric
+                if process_index == 0:
+                    save_checkpoint(
+                        config.train.checkpoint,
+                        best_checkpoint_name(config),
+                        state, config,
+                    )
+            else:
+                early_stop_count += 1
+                if (
+                    config.train.early_stop_patience > 0
+                    and early_stop_count > config.train.early_stop_patience
+                ):
+                    logger.info(
+                        f"\n>>>>> Early Stop at Iter {iter_i + 1} "
+                        f"(best miou: {best_metric})\n"
+                    )
+                    break
+            if config.train.debug:
+                break
+
+        tictoc = time.time()
+
+
+def main(argv=None) -> None:
+    config = config_from_args(argv)
+    logger = setup_logger(
+        "SVOL", config.train.log_dir,
+        distributed_rank=jax.process_index(),
+        filename=cur_time() + "_train.txt",
+    )
+    if jax.process_index() == 0:
+        logger.info("\n" + config_to_markdown(config))
+    logger.info(f"devices: {len(jax.devices())}, processes: {jax.process_count()}")
+    train_val(config, logger)
+
+
+if __name__ == "__main__":
+    main()

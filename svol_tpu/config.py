@@ -69,6 +69,7 @@ class ModelConfig:
     # Fields the reference needs but never defines (SURVEY.md §2 defects):
     enc_layers: int = 2  # vanilla DETR encoder depth (sketch_detr path)
     dec_layers: int = 2  # vanilla DETR decoder depth (sketch_detr path)
+    sketch_detr_num_queries: int = 100  # per-frame queries (sketch_detr.py:129)
     variant_mode: str = "concat_to_seq"  # svanet_variants fusion mode
     # Backbone-derived feature dims; populated by build_backbone just like the
     # reference mutates args (backbone.py:124-125,140-141).

@@ -176,11 +176,13 @@ class SVOLDataset:
         boxes = np.zeros((self.T, self.K, 4), np.float32)
         box_valid = np.zeros((self.T, self.K), bool)
         frame_keys: List[int] = []
+        track_ids: List[List[int]] = []
         t = 0
         for frame_key, anno_list in vid_annos["frames"].items():
             if int(frame_key) not in sampled_set or t >= self.T:
                 continue
             frame_keys.append(int(frame_key))
+            ids: List[int] = []
             n = 0
             for obj in anno_list:
                 if obj["label"] != category or n >= self.K:
@@ -190,7 +192,9 @@ class SVOLDataset:
                     b[0] = 1.0 - b[0]
                 boxes[t, n] = b
                 box_valid[t, n] = True
+                ids.append(int(obj["track_id"]))
                 n += 1
+            track_ids.append(ids)
             t += 1
 
         n_valid_frames = len(frames)
@@ -212,6 +216,7 @@ class SVOLDataset:
                 "category": category,
                 "size": [w, h],
                 "frame_keys": frame_keys,
+                "track_ids": track_ids,
                 "total_boxes": int(box_valid.sum()),
             },
         )

@@ -189,7 +189,8 @@ def compute_ap(
     worker = partial(_ap_worker, iou_thresholds=iou_thds)
     group2ap: Dict[str, np.ndarray] = {}
     if num_workers > 1:
-        with mp.Pool(num_workers) as pool:
+        # spawn (not fork): JAX runtimes are multithreaded and fork deadlocks
+        with mp.get_context("spawn").Pool(num_workers) as pool:
             for g, scores in pool.imap_unordered(worker, triples, chunksize=chunksize):
                 group2ap[g] = scores
     else:

@@ -26,7 +26,12 @@ import jax.numpy as jnp
 from jax import Array
 
 from svol_tpu.config import SvolConfig
-from svol_tpu.losses.matcher import MatchResult, match_per_frame, match_per_video
+from svol_tpu.losses.matcher import (
+    MatchResult,
+    match_per_frame,
+    match_per_frame_rect,
+    match_per_video,
+)
 from svol_tpu.ops.boxes import box_cxcywh_to_xyxy, generalized_box_iou
 
 FOREGROUND = 0
@@ -120,22 +125,30 @@ class SetCriterion:
                     self.weight_dict[f"{k}_{i}"] = self.weight_dict[k]
 
     def _match(self, logits: Array, boxes: Array, tgt_boxes: Array,
-               tgt_valid: Array) -> MatchResult:
-        fn = match_per_frame if self.per_frame else match_per_video
-        return fn(
-            jax.lax.stop_gradient(logits),
-            jax.lax.stop_gradient(boxes),
-            tgt_boxes, tgt_valid,
+               tgt_valid: Array, queries_per_frame: int = 0) -> MatchResult:
+        kwargs = dict(
             cost_class=self.cost_class, cost_bbox=self.cost_bbox,
             cost_giou=self.cost_giou, impl=self.impl,
         )
+        K = tgt_boxes.shape[2]
+        logits = jax.lax.stop_gradient(logits)
+        boxes = jax.lax.stop_gradient(boxes)
+        if self.per_frame and queries_per_frame and queries_per_frame != K:
+            # SketchDETR-style head: more queries/frame than target slots
+            return match_per_frame_rect(
+                logits, boxes, tgt_boxes, tgt_valid,
+                queries_per_frame=queries_per_frame, **kwargs,
+            )
+        fn = match_per_frame if self.per_frame else match_per_video
+        return fn(logits, boxes, tgt_boxes, tgt_valid, **kwargs)
 
     def __call__(self, outputs: Dict[str, Any], targets: Dict[str, Array]) -> Dict[str, Array]:
         tgt_boxes = targets["boxes"]  # (B, T, K, 4)
         tgt_valid = targets["box_valid"]  # (B, T, K)
 
         logits, boxes = outputs["pred_logits"], outputs["pred_boxes"]
-        match = self._match(logits, boxes, tgt_boxes, tgt_valid)
+        qf = int(outputs.get("queries_per_frame", 0))
+        match = self._match(logits, boxes, tgt_boxes, tgt_valid, qf)
         losses = _losses_for_layer(
             logits, boxes, tgt_boxes, tgt_valid, match, self.eos_coef, self.per_frame
         )
@@ -145,7 +158,7 @@ class SetCriterion:
             for i in range(n_aux):
                 a_logits = outputs["aux_logits"][i]
                 a_boxes = outputs["aux_boxes"][i]
-                a_match = self._match(a_logits, a_boxes, tgt_boxes, tgt_valid)
+                a_match = self._match(a_logits, a_boxes, tgt_boxes, tgt_valid, qf)
                 aux = _losses_for_layer(
                     a_logits, a_boxes, tgt_boxes, tgt_valid, a_match,
                     self.eos_coef, self.per_frame,

@@ -21,7 +21,12 @@ import jax.numpy as jnp
 from jax import Array
 
 from svol_tpu.ops.boxes import box_cxcywh_to_xyxy, generalized_box_iou
-from svol_tpu.ops.hungarian import hungarian, hungarian_scipy_callback, masked_cost_matrix
+from svol_tpu.ops.hungarian import (
+    hungarian,
+    hungarian_scipy_callback,
+    masked_cost_matrix,
+    masked_cost_matrix_rows,
+)
 
 
 class MatchResult(NamedTuple):
@@ -81,6 +86,46 @@ def match_per_frame(
     assign = solver(C)  # (B, T, K)
     matched = jnp.take_along_axis(tgt_valid, assign, axis=-1)
     return MatchResult(tgt_index=assign, matched=matched)
+
+
+def match_per_frame_rect(
+    pred_logits: Array,  # (B, Q, 2) with Q = T * Qf, Qf > K
+    pred_boxes: Array,  # (B, Q, 4)
+    tgt_boxes: Array,  # (B, T, K, 4)
+    tgt_valid: Array,  # (B, T, K) bool
+    queries_per_frame: int,
+    cost_class: float = 2.0,
+    cost_bbox: float = 5.0,
+    cost_giou: float = 1.0,
+    impl: str = "on_device",
+) -> MatchResult:
+    """Rectangular per-frame matching for heads with more queries per frame
+    than target slots (SketchDETR's 100, sketch_detr.py:129).
+
+    Solved transposed — rows are the K target slots, columns the Qf queries —
+    so the LSAP stays K x Qf instead of Qf x Qf. The result is re-aligned to
+    prediction slots: ``tgt_index[b, t, q]`` is the target column matched to
+    query q (0 and unmatched where ``matched`` is False).
+    """
+    B, T, K, _ = tgt_boxes.shape
+    Qf = queries_per_frame
+    logits = pred_logits.reshape(B, T, Qf, -1)
+    boxes = pred_boxes.reshape(B, T, Qf, 4)
+
+    # cost with rows = targets, cols = queries
+    C = _cost_matrix(logits, boxes, tgt_boxes, cost_class, cost_bbox, cost_giou)
+    C = jnp.swapaxes(C, -1, -2)  # (B, T, K, Qf)
+    C = masked_cost_matrix_rows(C, tgt_valid)
+    solver = hungarian if impl == "on_device" else hungarian_scipy_callback
+    assign = solver(C)  # (B, T, K): query column per target row
+
+    onehot = jax.nn.one_hot(assign, Qf, dtype=jnp.float32)  # (B, T, K, Qf)
+    onehot = onehot * tgt_valid[..., None]
+    matched = onehot.sum(-2) > 0  # (B, T, Qf)
+    tgt_index = jnp.einsum(
+        "btkq,k->btq", onehot, jnp.arange(K, dtype=jnp.float32)
+    ).astype(jnp.int32)
+    return MatchResult(tgt_index=tgt_index, matched=matched)
 
 
 def match_per_video(

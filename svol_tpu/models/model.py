@@ -64,9 +64,10 @@ class SketchLocalizationModel(nn.Module):
                 nheads=cfg.model.nheads,
                 enc_layers=cfg.model.enc_layers,
                 dec_layers=cfg.model.dec_layers,
-                num_queries_per_frame=cfg.model.num_queries_per_frame,
+                num_queries_per_frame=cfg.model.sketch_detr_num_queries,
                 dim_feedforward=cfg.model.dim_feedforward,
                 dropout=cfg.model.dropout,
+                input_dropout=cfg.model.input_dropout,
                 pre_norm=cfg.model.pre_norm,
                 aux_loss=cfg.model.aux_loss,
                 dtype=dtype,
@@ -111,9 +112,12 @@ class SketchLocalizationModel(nn.Module):
         sketch_mask = jnp.repeat(src_sketch_mask, L_sketch, axis=1)
         video_mask = jnp.repeat(src_video_mask, rep, axis=1)
 
+        kwargs = {}
+        if self.config.model.sketch_head == "sketch_detr":
+            kwargs["num_frames"] = src_video.shape[1]
         return self.head(
             feat_sketch, sketch_mask, feat_video, video_mask,
-            deterministic=not train,
+            deterministic=not train, **kwargs,
         )
 
 

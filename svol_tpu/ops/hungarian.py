@@ -31,6 +31,18 @@ from jax import Array
 _BIG = jnp.float32(1e30)  # finite "infinity": avoids inf-inf -> nan inside jit
 
 
+def masked_cost_matrix_rows(cost: Array, row_valid: Array) -> Array:
+    """Row-wise analogue of :func:`masked_cost_matrix` for rectangular
+    problems whose *rows* are (possibly invalid) target slots: invalid rows
+    get a constant cost just above the max valid entry, so they absorb
+    arbitrary spare columns without affecting the real rows' optimum."""
+    valid = row_valid[..., :, None]
+    masked = jnp.where(valid, cost, -jnp.inf)
+    big = jnp.max(masked, axis=(-2, -1), keepdims=True)
+    big = jnp.where(jnp.isfinite(big), big, 0.0) + 1.0
+    return jnp.where(valid, cost, big)
+
+
 def masked_cost_matrix(cost: Array, col_valid: Array) -> Array:
     """Pad invalid target columns for square solving.
 
@@ -46,13 +58,15 @@ def masked_cost_matrix(cost: Array, col_valid: Array) -> Array:
 
 
 def _solve_square(cost: Array) -> Array:
-    """Solve one square LSAP. cost: (n, n) float32 -> col4row: (n,) int32.
+    """Solve one LSAP with rows <= cols. cost: (R, C) float32 ->
+    col4row: (R,) int32.
 
-    col4row[i] is the column assigned to row i (always a perfect matching on
-    a square matrix). Shortest-augmenting-path with dual potentials, the same
+    col4row[i] is the column assigned to row i (every row gets a column when
+    R <= C). Shortest-augmenting-path with dual potentials, the same
     algorithm as scipy's linear_sum_assignment.
     """
-    n = cost.shape[0]
+    n_rows, n = cost.shape  # n = number of columns
+    assert n_rows <= n, (n_rows, n)
     dtype = jnp.float32
     cost = cost.astype(dtype)
 
@@ -62,7 +76,7 @@ def _solve_square(cost: Array) -> Array:
         shortest = jnp.full((n,), _BIG, dtype)
         path = jnp.full((n,), -1, jnp.int32)
         visited_col = jnp.zeros((n,), bool)
-        visited_row = jnp.zeros((n,), bool)
+        visited_row = jnp.zeros((n_rows,), bool)
 
         def dij_cond(carry):
             _, _, _, _, _, _, sink = carry
@@ -101,7 +115,7 @@ def _solve_square(cost: Array) -> Array:
 
         # Dual updates (scipy rectangular_lsap.cpp dual-update step).
         u = u.at[cur_row].add(min_val)
-        idx = jnp.arange(n)
+        idx = jnp.arange(n_rows)
         other_rows = visited_row & (idx != cur_row)
         # visited rows (except cur_row) are assigned, so col4row is valid there
         u = jnp.where(other_rows, u + (min_val - shortest[col4row]), u)
@@ -125,25 +139,23 @@ def _solve_square(cost: Array) -> Array:
         )
         return u, v, row4col, col4row
 
-    u = jnp.zeros((n,), dtype)
+    u = jnp.zeros((n_rows,), dtype)
     v = jnp.zeros((n,), dtype)
     row4col = jnp.full((n,), -1, jnp.int32)
-    col4row = jnp.full((n,), -1, jnp.int32)
-    _, _, _, col4row = jax.lax.fori_loop(0, n, outer, (u, v, row4col, col4row))
+    col4row = jnp.full((n_rows,), -1, jnp.int32)
+    _, _, _, col4row = jax.lax.fori_loop(0, n_rows, outer, (u, v, row4col, col4row))
     return col4row
 
 
 @functools.partial(jax.jit, static_argnames=())
 def hungarian(cost: Array) -> Array:
-    """Batched exact LSAP. cost: (..., n, n) -> col4row: (..., n) int32.
-
-    Each row is assigned exactly one column (square, perfect matching).
-    """
+    """Batched exact LSAP. cost: (..., R, C) with R <= C ->
+    col4row: (..., R) int32. Each row is assigned exactly one column."""
     batch_shape = cost.shape[:-2]
-    n = cost.shape[-1]
-    flat = cost.reshape((-1, n, n))
+    r, c = cost.shape[-2:]
+    flat = cost.reshape((-1, r, c))
     out = jax.vmap(_solve_square)(flat)
-    return out.reshape(batch_shape + (n,))
+    return out.reshape(batch_shape + (r,))
 
 
 def hungarian_cost(cost: Array, assignment: Array) -> Array:

@@ -1,0 +1,104 @@
+"""Train state, optimizer, and LR schedules.
+
+Replaces the reference's torch optimizer/scheduler/apex-AMP setup
+(train.py:94-143) with optax + a bf16 compute policy:
+  * optimizers: sgd (momentum 0.9) / adam / adamw, weight decay as in
+    train.py:94-99
+  * schedules: 'steplr' multiplies lr by 0.1 every lr_drop_step iterations
+    (torch StepLR semantics, train.py:131); 'multisteplr' drops once at
+    lr_drop_step (train.py:133)
+  * mixed precision: parameters and optimizer state stay float32; the model
+    computes in bfloat16 (ModelConfig.compute_dtype). No loss scaling is
+    needed on TPU — bf16 has fp32's exponent range, unlike the fp16 apex AMP
+    path the reference configures (configs.py:52-56).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from svol_tpu.config import SvolConfig
+
+
+class TrainState(train_state.TrainState):
+    """flax TrainState + BatchNorm running statistics (ResNet backbone)."""
+
+    batch_stats: Any = None
+
+
+def make_lr_schedule(config: SvolConfig) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    t = config.train
+    base, drop = t.lr, max(1, t.lr_drop_step)
+    if t.scheduler == "steplr":
+        def sched(step):
+            return base * jnp.power(0.1, jnp.floor(step / drop))
+    elif t.scheduler == "multisteplr":
+        def sched(step):
+            return jnp.where(step < drop, base, base * 0.1)
+    else:
+        raise NotImplementedError(t.scheduler)
+    return sched
+
+
+def make_optimizer(config: SvolConfig) -> optax.GradientTransformation:
+    t = config.train
+    sched = make_lr_schedule(config)
+    if t.optimizer == "adamw":
+        tx = optax.adamw(sched, weight_decay=t.wd)
+    elif t.optimizer == "adam":
+        # torch Adam's weight_decay is L2 added to the gradient
+        tx = optax.chain(
+            optax.add_decayed_weights(t.wd), optax.adam(sched)
+        )
+    elif t.optimizer == "sgd":
+        tx = optax.chain(
+            optax.add_decayed_weights(t.wd), optax.sgd(sched, momentum=0.9)
+        )
+    else:
+        raise NotImplementedError(t.optimizer)
+
+    if t.freeze_backbone:
+        def label_fn(params):
+            return jax.tree.map_with_path(
+                lambda path, _: "frozen"
+                if any(getattr(k, "key", None) == "backbone" for k in path)
+                else "train",
+                params,
+            )
+
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, label_fn
+        )
+    return tx
+
+
+def create_train_state(
+    config: SvolConfig,
+    model,
+    rng: jax.Array,
+    sample_batch: Dict[str, jnp.ndarray],
+) -> TrainState:
+    variables = model.init(
+        rng,
+        src_sketch=sample_batch["src_sketch"],
+        src_video=sample_batch["src_video"],
+        src_sketch_mask=sample_batch["src_sketch_mask"],
+        src_video_mask=sample_batch["src_video_mask"],
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", flax.core.freeze({}))
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=params,
+        tx=make_optimizer(config),
+        batch_stats=batch_stats,
+    )
+
+
+def count_parameters(params) -> int:
+    return sum(x.size for x in jax.tree.leaves(params))

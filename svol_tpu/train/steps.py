@@ -1,0 +1,128 @@
+"""jit-compiled train / eval / predict steps.
+
+One fused XLA program per step — forward, on-device Hungarian matching, loss,
+backward, optimizer update all stay on the accelerator. Contrast with the
+reference hot loop (train.py:205-357) which leaves the device every step for
+the scipy matcher (matcher.py:86) and the loss all-reduce (comm.py:21-25).
+
+Data parallelism: the caller jit-compiles these with batch inputs sharded
+over the mesh 'data' axis and params replicated; XLA inserts the gradient
+all-reduce automatically (no DDP wrapper). Loss logging values come back as
+replicated scalars — the psum is part of the same program.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from svol_tpu.config import SvolConfig
+from svol_tpu.losses.criterion import SetCriterion
+from svol_tpu.ops.boxes import box_cxcywh_to_xyxy
+from svol_tpu.train.state import TrainState
+
+
+def make_train_step(
+    config: SvolConfig, criterion: SetCriterion, donate: bool = True
+) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics)."""
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            has_bn = state.batch_stats is not None and len(state.batch_stats) > 0
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+            outputs, mutated = state.apply_fn(
+                variables,
+                src_sketch=batch["src_sketch"],
+                src_video=batch["src_video"],
+                src_sketch_mask=batch["src_sketch_mask"],
+                src_video_mask=batch["src_video_mask"],
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"] if has_bn else [],
+            )
+            losses = criterion(
+                outputs,
+                {"boxes": batch["boxes"], "box_valid": batch["box_valid"]},
+            )
+            return losses["loss_overall"], (losses, mutated)
+
+        (loss, (losses, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        new_state = state.apply_gradients(grads=grads)
+        if "batch_stats" in mutated:
+            new_state = new_state.replace(batch_stats=mutated["batch_stats"])
+
+        metrics = {k: v for k, v in losses.items()}
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
+
+
+def make_eval_step(config: SvolConfig, criterion: SetCriterion) -> Callable:
+    """eval_step(state, batch) -> (losses, scores, boxes_xyxy).
+
+    Mirrors the device part of test.py:113-153: deterministic forward, loss
+    logging, softmax foreground score, cxcywh -> xyxy clamped to [0, 1]. The
+    host-side JSONL assembly lives in svol_tpu/cli/infer.py.
+    """
+
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        variables = {"params": state.params}
+        if state.batch_stats is not None and len(state.batch_stats) > 0:
+            variables["batch_stats"] = state.batch_stats
+        outputs = state.apply_fn(
+            variables,
+            src_sketch=batch["src_sketch"],
+            src_video=batch["src_video"],
+            src_sketch_mask=batch["src_sketch_mask"],
+            src_video_mask=batch["src_video_mask"],
+            train=False,
+        )
+        losses = criterion(
+            outputs, {"boxes": batch["boxes"], "box_valid": batch["box_valid"]}
+        )
+        prob = jax.nn.softmax(outputs["pred_logits"].astype(jnp.float32), axis=-1)
+        scores = prob[..., 0]  # foreground index 0 (test.py:134)
+        boxes = jnp.clip(
+            box_cxcywh_to_xyxy(outputs["pred_boxes"].astype(jnp.float32)), 0.0, 1.0
+        )
+        return losses, scores, boxes
+
+    return jax.jit(eval_step)
+
+
+def make_predict_step(model_apply: Callable) -> Callable:
+    """predict_step(variables, batch) -> (scores, boxes_xyxy): pure inference,
+    no targets needed — the serving path."""
+
+    def predict(variables, batch: Dict[str, jnp.ndarray]):
+        outputs = model_apply(
+            variables,
+            src_sketch=batch["src_sketch"],
+            src_video=batch["src_video"],
+            src_sketch_mask=batch["src_sketch_mask"],
+            src_video_mask=batch["src_video_mask"],
+            train=False,
+        )
+        prob = jax.nn.softmax(outputs["pred_logits"].astype(jnp.float32), axis=-1)
+        boxes = jnp.clip(
+            box_cxcywh_to_xyxy(outputs["pred_boxes"].astype(jnp.float32)), 0.0, 1.0
+        )
+        return prob[..., 0], boxes
+
+    return jax.jit(predict)

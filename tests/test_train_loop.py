@@ -1,0 +1,122 @@
+"""End-to-end training smoke test on the synthetic fixture: a few fused
+train steps on the 8-device CPU mesh, then the full inference/eval path
+producing reference-schema JSONL + metrics."""
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from svol_tpu.config import DataConfig, ModelConfig, SvolConfig, TrainConfig
+from svol_tpu.cli.infer import eval_setup, inference, assemble_results
+from svol_tpu.data.pipeline import build_loader
+from svol_tpu.data.synthetic import generate_synthetic_dataset
+from svol_tpu.losses.criterion import build_criterion
+from svol_tpu.models import build_model
+from svol_tpu.parallel import make_mesh_plan
+from svol_tpu.train import create_train_state, make_eval_step, make_train_step
+
+T, K, IMG = 4, 3, 64
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("svol_train_fixture"))
+    generate_synthetic_dataset(root, frames_per_video=6)
+    return root
+
+
+def make_cfg(root, tmp):
+    return SvolConfig(
+        data=DataConfig(
+            root=root, anno_root=os.path.join(root, "annos"),
+            num_frames=T, max_boxes_per_frame=K, image_size=IMG,
+            bs=8, eval_bs=4, num_workers=2,
+        ),
+        model=ModelConfig(
+            hidden_dim=32, nheads=4, num_layers=2, num_queries=T * K,
+            num_queries_per_frame=K, cmt_dim_feedforward=64,
+            compute_dtype="float32",
+        ),
+        train=TrainConfig(
+            results_dir=os.path.join(tmp, "results"),
+            checkpoint=os.path.join(tmp, "save"),
+            log_dir=os.path.join(tmp, "logs"),
+        ),
+    )
+
+
+def test_train_steps_and_eval(fixture_root, tmp_path):
+    cfg = make_cfg(fixture_root, str(tmp_path))
+    plan = make_mesh_plan()  # 8 virtual CPU devices
+    assert plan.data_axis_size == 8
+
+    model = build_model(cfg)
+    criterion = build_criterion(cfg)
+    loader = build_loader(cfg, "train", backend="threads")
+    it = iter(loader)
+    batch, extra = next(it)
+    full = dict(batch)
+    full.update(extra["targets"])
+
+    state = create_train_state(
+        cfg, model, jax.random.PRNGKey(0),
+        {k: batch[k] for k in batch},
+    )
+    state = plan.replicate(state)
+    train_step = make_train_step(cfg, criterion)
+    rng = jax.random.PRNGKey(0)
+
+    losses = []
+    for _ in range(3):
+        device_batch = plan.shard_batch(full)
+        state, metrics = train_step(state, device_batch, rng)
+        losses.append(float(metrics["loss_overall"]))
+        assert np.isfinite(losses[-1])
+        assert float(metrics["grad_norm"]) > 0
+    assert int(state.step) == 3
+    # same batch thrice: loss should drop
+    assert losses[-1] < losses[0]
+
+    # full inference path -> JSONL + metrics
+    eval_step = make_eval_step(cfg, criterion)
+    metrics_out, loss_meters, paths = inference(
+        cfg, state, eval_step, build_loader(cfg, "val", backend="threads"),
+        "smoke_val.jsonl",
+    )
+    assert "SVOL-full-mIoU@R1" in metrics_out["brief"]
+    assert os.path.exists(paths[0])
+    with open(paths[0]) as f:
+        row = json.loads(f.readline())
+    # reference JSONL schema (test.py:162-169)
+    assert set(row) == {"video", "sketch", "shape", "frame", "gt_boxes", "pred_boxes"}
+    assert len(row["pred_boxes"][0]) == 5
+    # sorted by score desc
+    scores = [p[4] for p in row["pred_boxes"]]
+    assert scores == sorted(scores, reverse=True)
+    assert all(len(str(p).split(".")[-1].rstrip("]")) <= 4 for p in row["pred_boxes"][0])
+
+
+def test_checkpoint_roundtrip(fixture_root, tmp_path):
+    from svol_tpu.train.checkpoints import restore_checkpoint, save_checkpoint
+
+    cfg = make_cfg(fixture_root, str(tmp_path))
+    model = build_model(cfg)
+    B, S = 2, IMG
+    sample = {
+        "src_sketch": np.zeros((B, 1, S, S, 3), np.float32),
+        "src_video": np.zeros((B, T, S, S, 3), np.float32),
+        "src_sketch_mask": np.ones((B, 1), np.float32),
+        "src_video_mask": np.ones((B, T), np.float32),
+    }
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), sample)
+    path = save_checkpoint(str(tmp_path / "ckpt"), "best_model_x", state, cfg)
+    assert os.path.exists(path)
+
+    state2 = create_train_state(cfg, model, jax.random.PRNGKey(1), sample)
+    state2 = restore_checkpoint(path, state2, restore_all=True)
+    l1 = jax.tree.leaves(state.params)
+    l2 = jax.tree.leaves(state2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
