@@ -1,15 +1,23 @@
 """End-to-end inference throughput benchmark (driver contract).
 
 Measures frames/sec/chip of the flagship model (ResNet-34/18 backbone +
-SVANet head, 224^2 inputs, T=32 frames, 320 queries) on the available
-accelerator: jit'd predict step (backbone + cross-modal transformer +
-score/box post-processing), steady-state, compile excluded.
+SVANet head, 224^2 inputs, T=32 frames, 320 queries): backbone + cross-modal
+transformer + score/box post-processing.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
-baseline is the 4,000 frames/sec/chip target from BASELINE.md.
+Methodology: N inference steps are chained *inside one jit program* via a
+data dependency (each step's input is perturbed by the previous step's
+output), and the final scalar is fetched to the host. This is robust against
+async-dispatch artifacts — on this environment's tunneled TPU backend,
+``block_until_ready`` can return before execution finishes, which makes naive
+dispatch-loop timings meaningless. One program dispatch amortizes the
+host<->device round trip across all N steps.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}; baseline is
+the 4,000 frames/sec/chip target from BASELINE.md.
 """
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -18,40 +26,58 @@ import numpy as np
 BASELINE_FPS = 4000.0  # BASELINE.md rebuild target (frames/sec/chip)
 
 
+def chained_steps(predict, variables, batch, n_iters: int):
+    """jit program running n_iters sequentially-dependent inference steps."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(variables, batch):
+        def body(_, carry):
+            b = dict(batch)
+            # data dependency: negligible perturbation keeps steps sequential
+            b["src_video"] = batch["src_video"] + carry * 1e-12
+            scores, boxes = predict(variables, b)
+            return scores.mean() + boxes.mean()
+
+        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
+
+    return run
+
+
 def main() -> None:
     import jax
 
     from __graft_entry__ import _flagship_config, _sample_batch
     from svol_tpu.models import build_model
-    from svol_tpu.train.steps import make_predict_step
+    from svol_tpu.train.steps import make_predict_fn
 
     cfg = _flagship_config()
     batch_size = 8
+    n_iters = 20
     model = build_model(cfg)
     batch = _sample_batch(cfg, batch_size=batch_size)
     init_keys = ("src_sketch", "src_video", "src_sketch_mask", "src_video_mask")
     variables = model.init(
         jax.random.PRNGKey(0), **{k: batch[k] for k in init_keys}
     )
-    predict = make_predict_step(model.apply)
+    predict = make_predict_fn(model.apply)
 
     device = jax.devices()[0]
     variables = jax.device_put(variables, device)
     batch = jax.device_put(batch, device)
 
-    # warmup / compile
-    jax.block_until_ready(predict(variables, batch))
+    run = chained_steps(predict, variables, batch, n_iters)
+    float(run(variables, batch))  # warmup / compile (fetch forces completion)
 
-    # NB: keep every output and block on all of them — under the axon tunnel,
-    # blocking only on the last dispatch does not serialize the queue.
-    n_iters = 20
-    t0 = time.perf_counter()
-    outs = [predict(variables, batch) for _ in range(n_iters)]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / n_iters
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(variables, batch))  # host fetch = true completion barrier
+        best_dt = min(best_dt, (time.perf_counter() - t0) / n_iters)
 
     frames_per_step = batch_size * cfg.data.num_frames
-    fps = frames_per_step / dt
+    fps = frames_per_step / best_dt
     print(json.dumps({
         "metric": "inference_throughput",
         "value": round(fps, 1),

@@ -31,7 +31,7 @@ from jax import Array
 
 from svol_tpu.models.layers import (
     LN_EPS,
-    AttentionWeightsOnly,
+    GatedSketchVideoAttention,
     MultiheadAttention,
     TransformerMLP,
 )
@@ -59,21 +59,11 @@ class CrossModalTransformerLayer(nn.Module):
         ln = lambda name: nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name=name)
 
         # --- (1) sketch->video gate -------------------------------------
-        k_gate = mem + vid_pos
-        if self.use_pallas:
-            from svol_tpu.ops.pallas.gated_attention import gated_cross_attention
-
-            att1, gated = gated_cross_attention(
-                self, src_skch, k_gate, mem, self.nhead, dtype=self.dtype
-            )
-            mem = ln("norm1")(mem + gated)
-        else:
-            att1 = AttentionWeightsOnly(
-                d_model=self.d_model, num_heads=self.nhead, dtype=self.dtype,
-                name="sketch_video_cross_attn",
-            )(src_skch, k_gate)  # (B, 1, L)
-            # weights broadcast over the feature dim: (B, L, 1) * (B, L, D)
-            mem = ln("norm1")(mem + att1.transpose(0, 2, 1) * mem)
+        att1, gated = GatedSketchVideoAttention(
+            d_model=self.d_model, num_heads=self.nhead, dtype=self.dtype,
+            use_pallas=self.use_pallas, name="sketch_video_cross_attn",
+        )(src_skch, mem + vid_pos, mem)  # att1 (B,1,L), gated (B,L,D)
+        mem = ln("norm1")(mem + gated)
 
         # --- (2) video self-attention + MLP ------------------------------
         qk = mem + vid_pos

@@ -91,42 +91,43 @@ class MultiheadAttention(nn.Module):
         return out, avg_weights
 
 
-class AttentionWeightsOnly(nn.Module):
-    """Query/key attention that produces only the (head-averaged) weights.
+class GatedSketchVideoAttention(nn.Module):
+    """Block 1 of the cross-modal layer: attention-weights-as-gate.
 
-    SVOL's first cross-attention block discards the attention *output* and
-    uses only the weights as a gate (cross_modal_transformer.py:124-126), so
-    the value/out projections are dead parameters in the reference. We simply
-    don't create them — same math, fewer FLOPs and params.
+    Owns the q/k projection parameters (same tree layout as
+    AttentionWeightsOnly for checkpoint interop) and dispatches between the
+    XLA formulation and the fused Pallas kernel
+    (svol_tpu/ops/pallas/gated_attention.py). Returns (att1 (B, 1, L),
+    gated (B, L, D)) where gated = att1^T * mem (residual added by caller).
     """
 
     d_model: int
     num_heads: int
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, query: Array, key: Array) -> Array:  # (B,Lq,D),(B,Lk,D)
-        head_dim = self.d_model // self.num_heads
-        dense = lambda name: nn.Dense(
-            self.d_model,
-            dtype=self.dtype,
-            kernel_init=nn.initializers.xavier_uniform(),
-            name=name,
+    def __call__(self, sketch: Array, k_input: Array, mem: Array):
+        init = nn.initializers.xavier_uniform()
+        wq = self.param("q_proj_kernel", init, (self.d_model, self.d_model))
+        bq = self.param("q_proj_bias", nn.initializers.zeros, (self.d_model,))
+        wk = self.param("k_proj_kernel", init, (self.d_model, self.d_model))
+        bk = self.param("k_proj_bias", nn.initializers.zeros, (self.d_model,))
+
+        from svol_tpu.ops.pallas.gated_attention import (
+            gated_attention_reference,
+            gated_cross_attention,
         )
-        q = dense("q_proj")(query)
-        k = dense("k_proj")(key)
-        B, Lq, _ = q.shape
-        Lk = k.shape[1]
-        q = q.reshape(B, Lq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-        k = k.reshape(B, Lk, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-        logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", q * (head_dim**-0.5), k,
-            preferred_element_type=jnp.float32,
-        )
-        weights = nn.softmax(logits.astype(jnp.float32), axis=-1)
-        if self.dtype is not None:
-            weights = weights.astype(self.dtype)
-        return weights.mean(axis=1)  # (B, Lq, Lk)
+
+        if self.use_pallas:
+            g, gated = gated_cross_attention(
+                sketch, k_input, mem, wq, bq, wk, bk, self.num_heads
+            )
+        else:
+            g, gated = gated_attention_reference(
+                sketch, k_input, mem, wq, bq, wk, bk, self.num_heads
+            )
+        return g[:, None, :], gated
 
 
 class TransformerMLP(nn.Module):

@@ -106,9 +106,9 @@ def make_eval_step(config: SvolConfig, criterion: SetCriterion) -> Callable:
     return jax.jit(eval_step)
 
 
-def make_predict_step(model_apply: Callable) -> Callable:
-    """predict_step(variables, batch) -> (scores, boxes_xyxy): pure inference,
-    no targets needed — the serving path."""
+def make_predict_fn(model_apply: Callable) -> Callable:
+    """Un-jitted predict(variables, batch) -> (scores, boxes_xyxy); compose
+    into larger jit programs (benchmark loops, serving graphs)."""
 
     def predict(variables, batch: Dict[str, jnp.ndarray]):
         outputs = model_apply(
@@ -125,4 +125,10 @@ def make_predict_step(model_apply: Callable) -> Callable:
         )
         return prob[..., 0], boxes
 
-    return jax.jit(predict)
+    return predict
+
+
+def make_predict_step(model_apply: Callable) -> Callable:
+    """predict_step(variables, batch) -> (scores, boxes_xyxy): pure inference,
+    no targets needed — the serving path."""
+    return jax.jit(make_predict_fn(model_apply))
