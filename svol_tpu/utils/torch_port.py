@@ -1,0 +1,157 @@
+"""Port pretrained torch checkpoints into our Flax parameter trees.
+
+The reference initializes its backbones from torchvision ImageNet weights
+(backbone.py:135-137) and HF ViT weights (backbone.py:118-122). This
+environment has no network egress, so weights can't be downloaded here —
+instead these converters map a *provided* state dict file onto our NHWC Flax
+modules tensor-for-tensor:
+
+  * torchvision resnet18/34/50 ``.pth`` -> svol_tpu.models.resnet.ResNet
+    (OIHW conv -> HWIO, BN weight/bias/running stats -> scale/bias/mean/var,
+    ``layer{i}.{j}`` -> ``layer{i}_{j}``, downsample 0/1 -> conv/bn)
+  * HF ViTModel state dict -> svol_tpu.models.vit.ViT
+
+Accepted inputs: a ``.pth``/``.bin`` torch file (loaded via torch, CPU), an
+``.npz`` with the same key names, or an in-memory dict of numpy arrays.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def load_state_dict(path_or_dict) -> Dict[str, np.ndarray]:
+    if isinstance(path_or_dict, Mapping):
+        return {k: np.asarray(v) for k, v in path_or_dict.items()}
+    path = str(path_or_dict)
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    if isinstance(sd, dict) and "model" in sd and not hasattr(sd["model"], "shape"):
+        sd = sd["model"]
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def _conv(w: np.ndarray) -> np.ndarray:
+    """torch OIHW -> flax HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _bn(sd: Dict[str, np.ndarray], prefix: str) -> tuple:
+    params = {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+    stats = {"mean": sd[prefix + ".running_mean"], "var": sd[prefix + ".running_var"]}
+    return params, stats
+
+
+def convert_resnet(
+    state_dict, stage_sizes, bottleneck: bool = False
+) -> Dict[str, Any]:
+    """torchvision resnet state dict -> {'params': ..., 'batch_stats': ...}
+    matching svol_tpu.models.resnet.ResNet's tree."""
+    sd = load_state_dict(state_dict)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    params["conv1"] = {"kernel": _conv(sd["conv1.weight"])}
+    params["bn1"], stats["bn1"] = _bn(sd, "bn1")
+
+    n_convs = 3 if bottleneck else 2
+    for stage, n_blocks in enumerate(stage_sizes, start=1):
+        for b in range(n_blocks):
+            src = f"layer{stage}.{b}"
+            dst = f"layer{stage}_{b}"
+            block_p: Dict[str, Any] = {}
+            block_s: Dict[str, Any] = {}
+            for c in range(1, n_convs + 1):
+                block_p[f"conv{c}"] = {"kernel": _conv(sd[f"{src}.conv{c}.weight"])}
+                block_p[f"bn{c}"], block_s[f"bn{c}"] = _bn(sd, f"{src}.bn{c}")
+            if f"{src}.downsample.0.weight" in sd:
+                block_p["downsample_conv"] = {
+                    "kernel": _conv(sd[f"{src}.downsample.0.weight"])
+                }
+                block_p["downsample_bn"], block_s["downsample_bn"] = _bn(
+                    sd, f"{src}.downsample.1"
+                )
+            params[dst] = block_p
+            stats[dst] = block_s
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_resnet18(state_dict):
+    return convert_resnet(state_dict, (2, 2, 2, 2))
+
+
+def convert_resnet34(state_dict):
+    return convert_resnet(state_dict, (3, 4, 6, 3))
+
+
+def convert_resnet50(state_dict):
+    return convert_resnet(state_dict, (3, 4, 6, 3), bottleneck=True)
+
+
+def convert_hf_vit(state_dict, num_layers: int = 12) -> Dict[str, Any]:
+    """HF ViTModel state dict -> svol_tpu.models.vit.ViT params."""
+    sd = load_state_dict(state_dict)
+
+    def lin(prefix):  # torch (out, in) -> flax (in, out)
+        return {"kernel": sd[prefix + ".weight"].T, "bias": sd[prefix + ".bias"]}
+
+    def ln(prefix):
+        return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+    p: Dict[str, Any] = {
+        "cls_token": sd["embeddings.cls_token"],
+        "pos_embed": sd["embeddings.position_embeddings"],
+        "patch_embed": {
+            "kernel": _conv(sd["embeddings.patch_embeddings.projection.weight"]),
+            "bias": sd["embeddings.patch_embeddings.projection.bias"],
+        },
+        "ln_final": ln("layernorm"),
+    }
+    for i in range(num_layers):
+        src = f"encoder.layer.{i}"
+        p[f"layer{i}"] = {
+            "ln_before": ln(f"{src}.layernorm_before"),
+            "ln_after": ln(f"{src}.layernorm_after"),
+            "q": lin(f"{src}.attention.attention.query"),
+            "k": lin(f"{src}.attention.attention.key"),
+            "v": lin(f"{src}.attention.attention.value"),
+            "attn_out": lin(f"{src}.attention.output.dense"),
+            "mlp_in": lin(f"{src}.intermediate.dense"),
+            "mlp_out": lin(f"{src}.output.dense"),
+        }
+    return {"params": p}
+
+
+def load_backbone_weights(variables, backbone: str,
+                          video_ckpt: str = "", sketch_ckpt: str = ""):
+    """Graft converted backbone weights into a full model's variables.
+
+    ``variables`` is the tree from ``model.init``; returns an updated copy.
+    The video/sketch sub-backbones live under
+    params/backbone/{video_backbone, sketch_backbone} (models/backbone.py).
+    """
+    import flax
+
+    variables = flax.core.unfreeze(variables)
+    convert_video = convert_resnet34 if "resnet" in backbone else convert_hf_vit
+    convert_sketch = convert_resnet18 if "resnet" in backbone else convert_hf_vit
+
+    for name, ckpt, conv in (
+        ("video_backbone", video_ckpt, convert_video),
+        ("sketch_backbone", sketch_ckpt, convert_sketch),
+    ):
+        if not ckpt:
+            continue
+        converted = conv(ckpt)
+        variables["params"]["backbone"][name] = converted["params"]
+        if "batch_stats" in converted and "batch_stats" in variables:
+            variables["batch_stats"]["backbone"][name] = converted["batch_stats"]
+    return variables
