@@ -40,6 +40,8 @@ from svol_tpu.train.checkpoints import (
 from svol_tpu.train.state import count_parameters, create_train_state
 from svol_tpu.train.steps import make_eval_step, make_train_step
 from svol_tpu.utils import AverageMeter, cur_time, setup_logger
+from svol_tpu.utils.metrics_writer import MetricsWriter
+from svol_tpu.utils.profiling import maybe_trace
 
 
 def train_val(config: SvolConfig, logger) -> None:
@@ -79,6 +81,7 @@ def train_val(config: SvolConfig, logger) -> None:
 
     time_meters = defaultdict(AverageMeter)
     loss_meters = defaultdict(AverageMeter)
+    writer = MetricsWriter(config.train.log_dir) if process_index == 0 else None
     best_metric = 0.0
     early_stop_count = 0
     start_iter = int(state.step)
@@ -100,8 +103,10 @@ def train_val(config: SvolConfig, logger) -> None:
         time_meters["prepare_inputs_time"].update(time.time() - tictoc)
         tictoc = time.time()
 
-        state, metrics = train_step(state, device_batch, rng)
-        metrics = {k: float(v) for k, v in metrics.items()}
+        profile_this = config.train.profile and iter_i == 10
+        with maybe_trace(config.train.log_dir, enabled=profile_this):
+            state, metrics = train_step(state, device_batch, rng)
+            metrics = {k: float(v) for k, v in metrics.items()}
         time_meters["model_step_time"].update(time.time() - tictoc)
 
         for k, v in metrics.items():
@@ -118,6 +123,9 @@ def train_val(config: SvolConfig, logger) -> None:
                 f"Training Logs\n[Iter] {iter_i:06d}\n"
                 f"[Time]\n{time_stats}\n[Loss]\n{loss_str}\n"
             )
+            if writer:
+                writer.log(iter_i, "train",
+                           {k: v.avg for k, v in loss_meters.items()})
 
         if (
             config.train.save_interval > 0
@@ -137,6 +145,9 @@ def train_val(config: SvolConfig, logger) -> None:
                 results_filename, logger=logger,
             )
             cur_metric = metrics_out["brief"]["SVOL-full-mIoU@R1"]
+            if writer:
+                writer.log(iter_i + 1, "val",
+                           {k: float(v) for k, v in metrics_out["brief"].items()})
             logger.info(
                 f"\n>>>>> Evaluation\n[Iter] {iter_i + 1:03d}\n"
                 f"[Metrics]\n{pprint.pformat(metrics_out['brief'], indent=4)}\n"

@@ -123,6 +123,8 @@ class TrainConfig:
     use_bf16: bool = True
     # Mesh axes for data parallelism; -1 = all visible devices.
     dp_devices: int = -1
+    # Write a jax.profiler trace of the first profiled steps to log_dir.
+    profile: bool = False
 
 
 @dataclass
@@ -261,6 +263,7 @@ _FLAG_MAP = {
     "optimizer": ("train", "optimizer"),
     "scheduler": ("train", "scheduler"),
     "freeze_backbone": ("train", "freeze_backbone"),
+    "profile": ("train", "profile"),
     "bbox_type": ("eval", "bbox_type"),
     "no_sort_results": ("eval", "no_sort_results"),
 }
@@ -269,6 +272,7 @@ _BOOL_STORE_TRUE = {
     "tight_frame_sampling", "zeroshot_dataset_eval", "zeroshot_category_eval",
     "unified_sketch_dataset", "pre_norm", "debug", "eval_untrained",
     "resume_all", "freeze_backbone", "no_sort_results", "use_pallas_attention",
+    "profile",
 }
 
 

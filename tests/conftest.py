@@ -17,6 +17,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: repeat test runs skip XLA recompilation.
+os.makedirs("/tmp/svol_xla_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/svol_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest
