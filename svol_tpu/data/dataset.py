@@ -89,6 +89,10 @@ class SVOLDataset:
         hflip_prob: float = 0.5,
         flip_boxes: bool = True,
         seed: int = 1,
+        decoder: str = "cv2",  # cv2 | native | auto
+        # cv2 default: on this 1-CPU container SIMD cv2 decode edges out the
+        # native threaded decoder; on multi-core hosts 'native' decodes the
+        # whole clip in one parallel C++ call (see svol_tpu/native).
     ):
         assert phase in ("train", "val", "test")
         self.phase = phase
@@ -102,6 +106,7 @@ class SVOLDataset:
         self.video_dataset = video_dataset
         self.sketch_dataset = sketch_dataset
         self.unified = unified_sketch_dataset
+        self.decoder = decoder
         self.zeroshot = zeroshot_dataset_eval or zeroshot_category_eval
 
         folder = "all" if self.zeroshot else (
@@ -154,12 +159,22 @@ class SVOLDataset:
         sampled = sample_frame_indices(total_frames, self.T, self.tight)
         rng = random.Random(self.seed * 1_000_003 + idx if self.phase == "train" else idx)
 
-        # decode frames + sketch
+        # decode frames + sketch (native batched decoder when available —
+        # one C++ call per clip instead of T python decode round-trips)
         video_dir = self._video_dir(video_id)
-        frames = np.stack([
-            _imread_rgb(os.path.join(video_dir, f"{i:06d}.JPEG"), self.image_size)
-            for i in sampled
-        ]).astype(np.float32) / 255.0
+        frame_paths = [os.path.join(video_dir, f"{i:06d}.JPEG") for i in sampled]
+        frames = None
+        if self.decoder in ("auto", "native"):
+            from svol_tpu.native import decode_clip
+
+            frames = decode_clip(frame_paths, self.image_size)
+            if frames is None and self.decoder == "native":
+                raise RuntimeError("native clip decoder unavailable")
+        if frames is None:
+            frames = np.stack(
+                [_imread_rgb(p, self.image_size) for p in frame_paths]
+            )
+        frames = frames.astype(np.float32) / 255.0
         sketch = _imread_rgb(
             self._sketch_path(sketch_id, sketch_ds), self.image_size
         ).astype(np.float32)[None] / 255.0

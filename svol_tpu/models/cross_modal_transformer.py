@@ -55,6 +55,7 @@ class CrossModalTransformerLayer(nn.Module):
         vid_pos: Array,  # (B, L, D)
         query_pos: Array,  # (B, Q, D)
         deterministic: bool = True,
+        need_weights: bool = False,
     ):
         ln = lambda name: nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name=name)
 
@@ -70,7 +71,7 @@ class CrossModalTransformerLayer(nn.Module):
         attn_out, att2 = MultiheadAttention(
             d_model=self.d_model, num_heads=self.nhead, dtype=self.dtype,
             name="content_self_attn",
-        )(qk, qk, mem, deterministic=deterministic)
+        )(qk, qk, mem, deterministic=deterministic, need_weights=need_weights)
         mem = ln("norm2")(attn_out + mem)
         mem = ln("norm3")(
             mem
@@ -85,7 +86,7 @@ class CrossModalTransformerLayer(nn.Module):
         attn_out, att3 = MultiheadAttention(
             d_model=self.d_model, num_heads=self.nhead, dtype=self.dtype,
             name="token_self_attn",
-        )(qk, qk, out, deterministic=deterministic)
+        )(qk, qk, out, deterministic=deterministic, need_weights=need_weights)
         out = ln("norm4")(attn_out + out)
 
         # --- (4) token->content cross-attention + MLP ---------------------
@@ -93,7 +94,8 @@ class CrossModalTransformerLayer(nn.Module):
             d_model=self.d_model, num_heads=self.nhead, dtype=self.dtype,
             name="content_token_cross_attn",
         )(out + query_pos, mem + vid_pos, mem,
-          key_padding_mask=vid_pad_mask, deterministic=deterministic)
+          key_padding_mask=vid_pad_mask, deterministic=deterministic,
+          need_weights=need_weights)
         out = ln("norm5")(out + attn_out)
         out = ln("norm6")(
             out
@@ -131,6 +133,7 @@ class CrossModalTransformer(nn.Module):
         vid_pos: Array,  # (B, L, D)
         query_embed: Array,  # (Q, D) learned queries
         deterministic: bool = True,
+        need_weights: bool = False,
     ):
         B = src_vid.shape[0]
         query_pos = jnp.broadcast_to(
@@ -150,17 +153,18 @@ class CrossModalTransformer(nn.Module):
                 use_pallas=self.use_pallas,
                 name=f"layer{i}",
             )(mem, src_skch, out, vid_pad_mask, vid_pos, query_pos,
-              deterministic=deterministic)
+              deterministic=deterministic, need_weights=need_weights)
             outputs.append(out)
             a1s.append(a1)
             a2s.append(a2)
             a3s.append(a3)
             a4s.append(a4)
 
+        stack = lambda xs: jnp.stack(xs) if xs[0] is not None else None
         return (
             jnp.stack(outputs),  # (layers, B, Q, D)
-            jnp.stack(a1s),  # (layers, B, 1, L)
-            jnp.stack(a2s),  # (layers, B, L, L)
-            jnp.stack(a3s),  # (layers, B, Q, Q)
-            jnp.stack(a4s),  # (layers, B, Q, L)
+            stack(a1s),  # (layers, B, 1, L) — always produced (it's the gate)
+            stack(a2s),  # (layers, B, L, L) — only when need_weights
+            stack(a3s),  # (layers, B, Q, Q)
+            stack(a4s),  # (layers, B, Q, L)
         )

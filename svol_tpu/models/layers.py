@@ -49,7 +49,8 @@ class MultiheadAttention(nn.Module):
         value: Array,  # (B, Lk, D)
         key_padding_mask: Optional[Array] = None,  # (B, Lk) True = padded
         deterministic: bool = True,
-    ) -> tuple[Array, Array]:
+        need_weights: bool = True,
+    ) -> tuple[Array, Optional[Array]]:
         head_dim = self.d_model // self.num_heads
         assert head_dim * self.num_heads == self.d_model
 
@@ -87,6 +88,11 @@ class MultiheadAttention(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(B, Lq, self.d_model)
         out = dense("out_proj")(out)
 
+        if not need_weights:
+            # skipping the head-average lets XLA avoid materializing the
+            # (B, H, Lq, Lk) weights as a program output — on SVOL shapes
+            # (L = 1568) that tensor dominates head runtime
+            return out, None
         avg_weights = weights.mean(axis=1)  # (B, Lq, Lk) — torch default
         return out, avg_weights
 

@@ -104,6 +104,7 @@ class SketchLocalizationModel(nn.Module):
         src_sketch_mask: Array,  # (B, 1) 1 = valid
         src_video_mask: Array,  # (B, T) 1 = valid
         train: bool = False,
+        return_attention: bool = False,
     ) -> Dict[str, Any]:
         feat_sketch, feat_video = self.backbone(src_sketch, src_video, train=train)
 
@@ -115,6 +116,8 @@ class SketchLocalizationModel(nn.Module):
         kwargs = {}
         if self.config.model.sketch_head == "sketch_detr":
             kwargs["num_frames"] = src_video.shape[1]
+        elif self.config.model.sketch_head == "svanet":
+            kwargs["return_attention"] = return_attention
         return self.head(
             feat_sketch, sketch_mask, feat_video, video_mask,
             deterministic=not train, **kwargs,

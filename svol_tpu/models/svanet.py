@@ -55,6 +55,7 @@ class SVANet(nn.Module):
         src_video: Array,  # (B, L_vid, D_vid)
         src_video_mask: Array,  # (B, L_vid) 1 = valid
         deterministic: bool = True,
+        return_attention: bool = False,
     ) -> Dict[str, Any]:
         vid = InputProjection(
             hidden_dim=self.hidden_dim, n_layers=self.n_input_proj,
@@ -95,7 +96,8 @@ class SVANet(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             name="transformer",
-        )(vid, skch, ~vid_valid, vid_pos, query_embed, deterministic=deterministic)
+        )(vid, skch, ~vid_valid, vid_pos, query_embed,
+          deterministic=deterministic, need_weights=return_attention)
 
         logits = nn.Dense(self.num_classes, dtype=self.dtype, name="class_embed")(hs)
         boxes = nn.sigmoid(
@@ -108,8 +110,13 @@ class SVANet(nn.Module):
         out: Dict[str, Any] = {
             "pred_logits": logits[-1],
             "pred_boxes": boxes[-1],
-            "attention_maps": {"att1": att1, "att2": att2, "att3": att3, "att4": att4},
         }
+        if return_attention:
+            # visualization-only; materializing (layers, B, L, L) maps costs
+            # more device time than the rest of the head combined
+            out["attention_maps"] = {
+                "att1": att1, "att2": att2, "att3": att3, "att4": att4,
+            }
         if self.aux_loss and self.num_layers > 1:
             out["aux_logits"] = logits[:-1]
             out["aux_boxes"] = boxes[:-1]

@@ -39,7 +39,7 @@ def test_resnet_svanet_forward_shapes(rng):
     model = build_model(cfg)
     inputs = make_inputs(rng)
     variables = model.init(jax.random.PRNGKey(0), **inputs)
-    out = model.apply(variables, **inputs)
+    out = model.apply(variables, **inputs, return_attention=True)
     B = 2
     assert out["pred_logits"].shape == (B, Q, 2)
     assert out["pred_boxes"].shape == (B, Q, 4)
@@ -48,6 +48,9 @@ def test_resnet_svanet_forward_shapes(rng):
     assert (boxes >= 0).all() and (boxes <= 1).all()  # sigmoid range
     # attention maps: 4 tokens/frame at 64px -> L = T*4 = 8
     assert out["attention_maps"]["att1"].shape == (2, B, 1, T * 4)
+    assert out["attention_maps"]["att2"].shape == (2, B, T * 4, T * 4)
+    # default path omits the maps entirely (hot-path memory saving)
+    assert "attention_maps" not in model.apply(variables, **inputs)
 
 
 def test_vit_svanet_forward_shapes(rng):
@@ -56,7 +59,7 @@ def test_vit_svanet_forward_shapes(rng):
     model = build_model(cfg)
     inputs = make_inputs(rng, img=32)
     variables = model.init(jax.random.PRNGKey(0), **inputs)
-    out = model.apply(variables, **inputs)
+    out = model.apply(variables, **inputs, return_attention=True)
     assert out["pred_logits"].shape == (2, Q, 2)
     # ViT path: 1 token per frame
     assert out["attention_maps"]["att4"].shape == (2, 2, Q, T)
