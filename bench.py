@@ -48,7 +48,9 @@ def chained_steps(predict, variables, batch, n_iters: int):
 def main() -> None:
     import jax
 
-    from __graft_entry__ import _flagship_config, _sample_batch
+    from __graft_entry__ import _enable_compile_cache, _flagship_config, _sample_batch
+
+    _enable_compile_cache()
     from svol_tpu.models import build_model
     from svol_tpu.train.steps import make_predict_fn
 

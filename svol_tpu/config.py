@@ -216,6 +216,7 @@ _FLAG_MAP = {
     "num_workers": ("data", "num_workers"),
     "num_frames": ("data", "num_frames"),
     "num_input_sketches": ("data", "num_input_sketches"),
+    "image_size": ("data", "image_size"),
     "tight_frame_sampling": ("data", "tight_frame_sampling"),
     "zeroshot_dataset_eval": ("data", "zeroshot_dataset_eval"),
     "zeroshot_category_eval": ("data", "zeroshot_category_eval"),
