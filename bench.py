@@ -17,11 +17,8 @@ the 4,000 frames/sec/chip target from BASELINE.md.
 """
 from __future__ import annotations
 
-import functools
 import json
 import time
-
-import numpy as np
 
 BASELINE_FPS = 4000.0  # BASELINE.md rebuild target (frames/sec/chip)
 

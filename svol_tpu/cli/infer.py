@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 import pprint
 from collections import defaultdict
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import numpy as np

@@ -20,10 +20,7 @@ from __future__ import annotations
 import pprint
 import time
 from collections import defaultdict
-from typing import Optional
-
 import jax
-import numpy as np
 
 from svol_tpu.config import SvolConfig, config_from_args, config_to_markdown
 from svol_tpu.cli.infer import inference

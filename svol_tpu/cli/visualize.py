@@ -11,8 +11,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import numpy as np
-
 from svol_tpu.utils.io import load_jsonl
 
 

@@ -18,7 +18,7 @@ import json
 import os
 import random
 import re
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 # Class vocabularies per sketch dataset (svol_dataset.py:46-52).
 CLASSES: Dict[str, List[str]] = {

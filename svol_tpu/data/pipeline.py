@@ -17,7 +17,6 @@ Two backends:
 """
 from __future__ import annotations
 
-import itertools
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor

@@ -20,7 +20,7 @@ import multiprocessing as mp
 import time
 from collections import OrderedDict, defaultdict
 from functools import partial
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
 
 import numpy as np
 

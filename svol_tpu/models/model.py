@@ -6,7 +6,7 @@ static repeat factor derived from the backbone type.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-from collections import defaultdict
 from typing import Dict, List, Tuple
 from xml.etree.ElementTree import parse
 

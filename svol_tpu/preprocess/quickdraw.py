@@ -19,7 +19,7 @@ import argparse
 import json
 import os
 import random
-from typing import Dict, Iterable, List, Sequence
+from typing import Iterable, Sequence
 
 import numpy as np
 

@@ -22,7 +22,7 @@ import argparse
 import os
 import random
 from glob import glob
-from typing import Dict, Iterator, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

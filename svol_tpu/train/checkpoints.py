@@ -11,9 +11,7 @@ for periodic saves (train.py:276-283).
 """
 from __future__ import annotations
 
-import json
 import os
-from typing import Any, Dict, Optional
 
 import orbax.checkpoint as ocp
 

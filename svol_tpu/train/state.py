@@ -14,7 +14,7 @@ Replaces the reference's torch optimizer/scheduler/apex-AMP setup
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import flax
 import jax

@@ -16,7 +16,6 @@ Accepted inputs: a ``.pth``/``.bin`` torch file (loaded via torch, CPU), an
 """
 from __future__ import annotations
 
-import os
 from typing import Any, Dict, Mapping
 
 import numpy as np
