@@ -145,55 +145,25 @@ class SetCriterion:
     def __call__(self, outputs: Dict[str, Any], targets: Dict[str, Array]) -> Dict[str, Array]:
         tgt_boxes = targets["boxes"]  # (B, T, K, 4)
         tgt_valid = targets["box_valid"]  # (B, T, K)
-        B = tgt_boxes.shape[0]
 
         logits, boxes = outputs["pred_logits"], outputs["pred_boxes"]
         qf = int(outputs.get("queries_per_frame", 0))
+        match = self._match(logits, boxes, tgt_boxes, tgt_valid, qf)
+        losses = _losses_for_layer(
+            logits, boxes, tgt_boxes, tgt_valid, match, self.eos_coef, self.per_frame
+        )
 
-        # Stack the final layer with the aux layers and solve every Hungarian
-        # problem in ONE vmapped call — the solver's sequential augmenting
-        # loops cost the same per iteration whether they run 512 or 1536
-        # lanes wide, so merging the (1 + n_aux) matcher invocations of
-        # loss.py:140,150 into one roughly divides matcher time by the layer
-        # count.
-        has_aux = self.aux_loss and "aux_logits" in outputs
-        if has_aux:
+        if self.aux_loss and "aux_logits" in outputs:
             n_aux = outputs["aux_logits"].shape[0]
-            n_layers = 1 + n_aux
-            all_logits = jnp.concatenate(
-                [logits[None], outputs["aux_logits"]], axis=0
-            ).reshape((n_layers * B,) + logits.shape[1:])
-            all_boxes = jnp.concatenate(
-                [boxes[None], outputs["aux_boxes"]], axis=0
-            ).reshape((n_layers * B,) + boxes.shape[1:])
-            rep = lambda x: jnp.broadcast_to(
-                x[None], (n_layers,) + x.shape
-            ).reshape((n_layers * B,) + x.shape[1:])
-            match = self._match(all_logits, all_boxes, rep(tgt_boxes),
-                                rep(tgt_valid), qf)
-            per_layer_match = jax.tree.map(
-                lambda x: x.reshape((n_layers, B) + x.shape[1:]), match
-            )
-            losses = _losses_for_layer(
-                logits, boxes, tgt_boxes, tgt_valid,
-                MatchResult(per_layer_match.tgt_index[0], per_layer_match.matched[0]),
-                self.eos_coef, self.per_frame,
-            )
             for i in range(n_aux):
+                a_logits = outputs["aux_logits"][i]
+                a_boxes = outputs["aux_boxes"][i]
+                a_match = self._match(a_logits, a_boxes, tgt_boxes, tgt_valid, qf)
                 aux = _losses_for_layer(
-                    outputs["aux_logits"][i], outputs["aux_boxes"][i],
-                    tgt_boxes, tgt_valid,
-                    MatchResult(per_layer_match.tgt_index[i + 1],
-                                per_layer_match.matched[i + 1]),
+                    a_logits, a_boxes, tgt_boxes, tgt_valid, a_match,
                     self.eos_coef, self.per_frame,
                 )
                 losses.update({f"{k}_{i}": v for k, v in aux.items()})
-        else:
-            match = self._match(logits, boxes, tgt_boxes, tgt_valid, qf)
-            losses = _losses_for_layer(
-                logits, boxes, tgt_boxes, tgt_valid, match,
-                self.eos_coef, self.per_frame,
-            )
 
         losses["loss_overall"] = sum(
             losses[k] * w for k, w in self.weight_dict.items() if k in losses
