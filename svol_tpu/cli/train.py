@@ -44,6 +44,12 @@ from svol_tpu.utils.profiling import maybe_trace
 def train_val(config: SvolConfig, logger) -> None:
     plan = make_mesh_plan(config.train.dp_devices)
     logger.info(f"mesh: {plan.mesh} (DP over {plan.data_axis_size} devices)")
+    if config.data.bs % plan.data_axis_size:
+        raise ValueError(
+            f"batch size {config.data.bs} must be divisible by the data-"
+            f"parallel mesh size {plan.data_axis_size}; adjust --bs or limit "
+            f"devices via dp_devices"
+        )
 
     process_index = jax.process_index()
     process_count = jax.process_count()

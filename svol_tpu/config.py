@@ -41,6 +41,9 @@ class DataConfig:
     # torch DataLoader workers, svol_dataloader.py:59).
     prefetch_buffer: int = 2
     hflip_prob: float = 0.5
+    # auto = grain worker processes for train, threads for eval;
+    # 'threads' avoids process spawn on constrained hosts.
+    loader_backend: str = "auto"
 
 
 @dataclass
@@ -217,6 +220,7 @@ _FLAG_MAP = {
     "num_frames": ("data", "num_frames"),
     "num_input_sketches": ("data", "num_input_sketches"),
     "image_size": ("data", "image_size"),
+    "loader_backend": ("data", "loader_backend"),
     "tight_frame_sampling": ("data", "tight_frame_sampling"),
     "zeroshot_dataset_eval": ("data", "zeroshot_dataset_eval"),
     "zeroshot_category_eval": ("data", "zeroshot_category_eval"),
@@ -233,6 +237,7 @@ _FLAG_MAP = {
     "n_input_proj": ("model", "n_input_proj"),
     "dropout": ("model", "dropout"),
     "dim_feedforward": ("model", "dim_feedforward"),
+    "cmt_dim_feedforward": ("model", "cmt_dim_feedforward"),
     "pre_norm": ("model", "pre_norm"),
     "sketch_position_embedding": ("model", "sketch_position_embedding"),
     "video_position_embedding": ("model", "video_position_embedding"),

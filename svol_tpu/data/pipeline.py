@@ -151,6 +151,8 @@ def build_loader(
     train = phase == "train"
     bs = config.data.bs if train else config.data.eval_bs
     if backend == "auto":
+        backend = config.data.loader_backend
+    if backend == "auto":
         backend = "grain" if train else "threads"
 
     if backend == "grain" and train:
@@ -158,7 +160,7 @@ def build_loader(
             ds, bs, num_workers=config.data.num_workers, seed=config.train.seed,
             shard_index=shard_index, shard_count=shard_count,
         )
-    return threaded_batches(
+    stream = threaded_batches(
         ds, bs,
         num_workers=max(1, config.data.num_workers),
         shuffle=train,
@@ -169,3 +171,14 @@ def build_loader(
         shard_index=shard_index,
         shard_count=shard_count,
     )
+    if not train:
+        return stream
+
+    def flat() -> Iterator[Dict[str, np.ndarray]]:
+        # train consumers expect one flat dict per batch (grain format)
+        for batch, extra in stream:
+            merged = dict(batch)
+            merged.update(extra["targets"])
+            yield merged
+
+    return flat()

@@ -1,0 +1,78 @@
+"""CLI entry points run end-to-end as subprocesses on the fixture dataset
+(CPU backend). Protects the user-facing surface: flag parsing, logging,
+results/checkpoint writing."""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from svol_tpu.data.synthetic import generate_synthetic_dataset
+
+T, K, IMG = 2, 2, 48
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("svol_cli_fixture"))
+    generate_synthetic_dataset(root, frames_per_video=6)
+    return root
+
+
+def run_cli(module, args, tmp, timeout=560):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/svol_xla_cache"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    return subprocess.run(
+        [sys.executable, "-m", module] + args,
+        capture_output=True, text=True, timeout=timeout, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+
+
+COMMON = lambda root, tmp: [
+    "--root", root, "--anno_root", os.path.join(root, "annos"),
+    "--sketch_dataset", "sketchy",
+    "--num_frames", str(T), "--num_queries", str(T * K),
+    "--num_queries_per_frame", str(K), "--image_size", str(IMG),
+    "--bs", "8", "--eval_bs", "4", "--num_workers", "1",
+    "--loader_backend", "threads",
+    "--hidden_dim", "32", "--nheads", "4", "--num_layers", "2",
+    "--cmt_dim_feedforward", "64", "--dim_feedforward", "64",
+    "--log_dir", os.path.join(tmp, "logs"),
+    "--results_dir", os.path.join(tmp, "results"),
+    "--checkpoint", os.path.join(tmp, "save"),
+]
+
+
+def test_infer_cli_random_init(fixture_root, tmp_path):
+    r = run_cli("svol_tpu.cli.infer",
+                COMMON(fixture_root, str(tmp_path)) + ["--debug"], str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "SVOL-full-mIoU@R1" in r.stdout
+    results = [f for f in os.listdir(tmp_path / "results") if f.endswith(".jsonl")]
+    assert results
+    with open(tmp_path / "results" / results[0]) as f:
+        row = json.loads(f.readline())
+    assert set(row) == {"video", "sketch", "shape", "frame", "gt_boxes", "pred_boxes"}
+
+
+def test_train_cli_debug_mode(fixture_root, tmp_path):
+    r = run_cli(
+        "svol_tpu.cli.train",
+        COMMON(fixture_root, str(tmp_path)) + [
+            "--debug", "--num_iters", "2", "--val_interval", "1",
+            "--log_interval", "1", "--early_stop_patience", "-1",
+        ],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics_path = tmp_path / "logs" / "metrics.jsonl"
+    assert metrics_path.exists()
+    phases = {json.loads(l)["phase"] for l in open(metrics_path)}
+    assert "train" in phases and "val" in phases
+    # best checkpoint saved under the reference naming scheme
+    saves = os.listdir(tmp_path / "save")
+    assert any(s.startswith("best_model_imagenet_vid_sketchy_svanet") for s in saves)
