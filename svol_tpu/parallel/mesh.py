@@ -35,16 +35,43 @@ class MeshPlan:
     def data_axis_size(self) -> int:
         return self.mesh.shape["data"]
 
+    @property
+    def seq_axis_size(self) -> int:
+        return self.mesh.shape["seq"]
+
     def batch_sharding(self) -> NamedSharding:
         return NamedSharding(self.mesh, self.batch_spec)
+
+    def video_sharding(self) -> NamedSharding:
+        """Sequence parallelism: the frame axis of video tensors shards over
+        'seq'. Frames are independent through the whole conv trunk, so the
+        backbone runs model-parallel with zero communication; XLA inserts
+        the all-gather exactly where the head first needs the full token
+        sequence. A new capability — the reference is DP-only (SURVEY §2)."""
+        return NamedSharding(self.mesh, P("data", "seq"))
 
     def replicated_sharding(self) -> NamedSharding:
         return NamedSharding(self.mesh, self.replicated_spec)
 
     def shard_batch(self, tree: Any) -> Any:
-        """Place a host batch onto the mesh, sharded over 'data'."""
-        sharding = self.batch_sharding()
-        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+        """Place a host batch onto the mesh: batch dim over 'data', and —
+        when the mesh has a non-trivial 'seq' axis — the frame dim of
+        (B, T, ...) video tensors over 'seq'."""
+        batch_sh = self.batch_sharding()
+        video_sh = self.video_sharding() if self.seq_axis_size > 1 else batch_sh
+
+        def place(x):
+            arr = np.asarray(x) if not hasattr(x, "ndim") else x
+            if (
+                self.seq_axis_size > 1
+                and arr.ndim >= 2
+                and arr.shape[1] % self.seq_axis_size == 0
+                and arr.ndim != 2  # (B, 1) masks stay data-sharded
+            ):
+                return jax.device_put(arr, video_sh)
+            return jax.device_put(arr, batch_sh)
+
+        return jax.tree.map(place, tree)
 
     def replicate(self, tree: Any) -> Any:
         sharding = self.replicated_sharding()
