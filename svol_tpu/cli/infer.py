@@ -120,24 +120,33 @@ def inference(
     results_filename: str,
     logger=None,
 ):
-    """Run eval, persist JSONL + metrics JSON (test.py:178-191)."""
+    """Run eval, persist JSONL + metrics JSON (test.py:178-191).
+
+    Multi-host note: every process evaluates the full (unsharded) val set so
+    that early-stop/best-checkpoint decisions are identical everywhere
+    without cross-host communication — the same strategy the reference falls
+    into with its distributed=False loaders (train.py:172,180), but here on
+    purpose and with file writes gated to process 0.
+    """
     results, loss_meters = get_results(
         state, eval_step, loader, config.data.num_frames,
         sort_results=not config.eval.no_sort_results,
         debug=config.train.debug,
     )
-    os.makedirs(config.train.results_dir, exist_ok=True)
     if config.eval.no_sort_results:
         results_filename = results_filename.replace(".jsonl", "_unsorted.jsonl")
     results_path = os.path.join(config.train.results_dir, results_filename)
-    save_jsonl(results, results_path)
+    if jax.process_index() == 0:
+        os.makedirs(config.train.results_dir, exist_ok=True)
+        save_jsonl(results, results_path)
 
     metrics = eval_results(
         results, verbose=config.train.debug, logger=logger,
         ap_workers=config.eval.ap_num_workers, ap_chunksize=config.eval.ap_chunksize,
     )
-    save_json(metrics, results_path.replace(".jsonl", "_metrics.json"),
-              save_pretty=True, sort_keys=False)
+    if jax.process_index() == 0:
+        save_json(metrics, results_path.replace(".jsonl", "_metrics.json"),
+                  save_pretty=True, sort_keys=False)
     return metrics, loss_meters, [results_path]
 
 

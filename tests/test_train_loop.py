@@ -56,13 +56,12 @@ def test_train_steps_and_eval(fixture_root, tmp_path):
     criterion = build_criterion(cfg)
     loader = build_loader(cfg, "train", backend="threads")
     it = iter(loader)
-    batch, extra = next(it)
-    full = dict(batch)
-    full.update(extra["targets"])
+    full = next(it)  # train loaders yield flat dicts (grain format)
+    input_keys = ("src_sketch", "src_video", "src_sketch_mask", "src_video_mask")
 
     state = create_train_state(
         cfg, model, jax.random.PRNGKey(0),
-        {k: batch[k] for k in batch},
+        {k: full[k] for k in input_keys},
     )
     state = plan.replicate(state)
     train_step = make_train_step(cfg, criterion)
