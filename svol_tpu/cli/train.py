@@ -88,8 +88,30 @@ def train_val(config: SvolConfig, logger) -> None:
     best_metric = 0.0
     early_stop_count = 0
     start_iter = int(state.step)
+    if config.train.start_iter is not None:
+        start_iter = config.train.start_iter
+
     if config.train.eval_untrained:
-        start_iter = -1
+        # sanity floor: evaluate the untrained model first (train.py:187)
+        metrics_out, _, _ = inference(
+            config, state, eval_step, val_loader_factory(),
+            f"{cur_time()}_{config.run_tag('val_untrained')}.jsonl", logger=logger,
+        )
+        logger.info(
+            f"\n>>>>> Untrained baseline\n"
+            f"{pprint.pformat(metrics_out['brief'], indent=4)}\n"
+        )
+
+    # metrics stay on device between log points — fetching them every step
+    # would serialize the dispatch queue (the reference syncs every step for
+    # its loss all-reduce, train.py:240; we don't have to)
+    pending_metrics = []
+
+    def drain_metrics():
+        for m in pending_metrics:
+            for k, v in m.items():
+                loss_meters[k].update(float(v))
+        pending_metrics.clear()
 
     pending = first
     tictoc = time.time()
@@ -109,13 +131,11 @@ def train_val(config: SvolConfig, logger) -> None:
         profile_this = config.train.profile and iter_i == 10
         with maybe_trace(config.train.log_dir, enabled=profile_this):
             state, metrics = train_step(state, device_batch, rng)
-            metrics = {k: float(v) for k, v in metrics.items()}
+        pending_metrics.append(metrics)
         time_meters["model_step_time"].update(time.time() - tictoc)
 
-        for k, v in metrics.items():
-            loss_meters[k].update(v)
-
         if iter_i % config.train.log_interval == 0:
+            drain_metrics()
             time_stats = "\n".join(
                 f"\t> {k} {v.avg:.4f}" for k, v in time_meters.items()
             )
@@ -142,6 +162,7 @@ def train_val(config: SvolConfig, logger) -> None:
             )
 
         if (iter_i + 1) % config.train.val_interval == 0 or config.train.debug:
+            drain_metrics()
             results_filename = f"{cur_time()}_{config.run_tag('val')}.jsonl"
             metrics_out, eval_loss_meters, _ = inference(
                 config, state, eval_step, val_loader_factory(),
