@@ -45,7 +45,12 @@ def chained_steps(predict, variables, batch, n_iters: int):
 def main() -> None:
     import jax
 
-    from __graft_entry__ import _enable_compile_cache, _flagship_config, _sample_batch
+    from __graft_entry__ import (
+        _enable_compile_cache,
+        _flagship_config,
+        _sample_batch,
+        init_variables,
+    )
 
     _enable_compile_cache()
     from svol_tpu.models import build_model
@@ -56,10 +61,7 @@ def main() -> None:
     n_iters = 20
     model = build_model(cfg)
     batch = _sample_batch(cfg, batch_size=batch_size)
-    init_keys = ("src_sketch", "src_video", "src_sketch_mask", "src_video_mask")
-    variables = model.init(
-        jax.random.PRNGKey(0), **{k: batch[k] for k in init_keys}
-    )
+    variables = init_variables(model, cfg)
     predict = make_predict_fn(model.apply)
 
     device = jax.devices()[0]
