@@ -282,6 +282,21 @@ _BOOL_STORE_TRUE = {
 }
 
 
+# Reference flags that are torch/CUDA-specific or superseded here; accepted
+# and ignored so the reference's shell recipes run unmodified
+# (configs.py:25-26,39-61,98-107,171-177). bf16 replaces AMP; Mesh DP
+# replaces NCCL/DDP; BatchNorm syncs automatically under sharded jit;
+# metrics.jsonl replaces Neptune.
+_LEGACY_IGNORED_STORE_TRUE = [
+    "no_gpu", "use_neptune", "sync_bn", "no_pin_memory", "use_vis_mean",
+]
+_LEGACY_IGNORED_VALUED = [
+    "dist-backend", "opt-level", "keep-batchnorm-fp32", "loss-scale",
+    "use_amp", "channels-last", "aspect_ratio_grouping", "vis_mode",
+    "n_neighbor",
+]
+
+
 def build_arg_parser() -> argparse.ArgumentParser:
     """Argparse parser mirroring the reference CLI (lib/configs.py:7-178)."""
     defaults = SvolConfig()
@@ -297,6 +312,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
             p.add_argument(f"--{flag}", type=type(default), default=default)
     # negative-flag aliases matching the reference exactly
     p.add_argument("--no_aux_loss", dest="aux_loss", action="store_false", default=True)
+    # ablation-mode alias: the reference selects fusion variants via --mode
+    # (svanet_variants.py:298, never defined in its configs.py)
+    p.add_argument("--mode", dest="variant_mode",
+                   default=defaults.model.variant_mode)
+    for flag in _LEGACY_IGNORED_STORE_TRUE:
+        p.add_argument(f"--{flag}", action="store_true", help="ignored (torch-era flag)")
+    for flag in _LEGACY_IGNORED_VALUED:
+        p.add_argument(f"--{flag}", default=None, help="ignored (torch-era flag)")
     return p
 
 
@@ -308,6 +331,7 @@ def config_from_args(argv: Optional[List[str]] = None) -> SvolConfig:
         setattr(getattr(cfg, section), fname, getattr(args, flag))
     cfg.loss.aux_loss = args.aux_loss
     cfg.model.aux_loss = args.aux_loss
+    cfg.model.variant_mode = args.variant_mode
     cfg.data.max_boxes_per_frame = cfg.model.num_queries_per_frame
     cfg.validate()
     return cfg
