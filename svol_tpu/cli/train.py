@@ -87,6 +87,7 @@ def train_val(config: SvolConfig, logger) -> None:
     writer = MetricsWriter(config.train.log_dir) if process_index == 0 else None
     best_metric = 0.0
     early_stop_count = 0
+    plateau_count = 0
     start_iter = int(state.step)
     if config.train.start_iter is not None:
         start_iter = config.train.start_iter
@@ -176,6 +177,20 @@ def train_val(config: SvolConfig, logger) -> None:
                 f"\n>>>>> Evaluation\n[Iter] {iter_i + 1:03d}\n"
                 f"[Metrics]\n{pprint.pformat(metrics_out['brief'], indent=4)}\n"
             )
+            if config.train.scheduler == "reducelronplateau":
+                # torch ReduceLROnPlateau(mode=max, factor=.1, patience=1,
+                # threshold=.5, rel) semantics — train.py:134-143
+                from svol_tpu.train.state import reduce_lr_on_plateau
+
+                if cur_metric > best_metric * 1.5:
+                    plateau_count = 0
+                else:
+                    plateau_count += 1
+                    if plateau_count > 1:
+                        state = reduce_lr_on_plateau(state, 0.1)
+                        plateau_count = 0
+                        logger.info("plateau: learning rate reduced x0.1")
+
             if cur_metric > best_metric:
                 early_stop_count = 0
                 best_metric = cur_metric

@@ -47,6 +47,15 @@ def make_lr_schedule(config: SvolConfig) -> Callable[[jnp.ndarray], jnp.ndarray]
 
 def make_optimizer(config: SvolConfig) -> optax.GradientTransformation:
     t = config.train
+    if t.scheduler == "reducelronplateau":
+        # host-driven LR: exposed as a mutable hyperparam, decayed by the
+        # train loop on validation-metric plateau (torch ReduceLROnPlateau
+        # semantics, train.py:134-143)
+        if t.optimizer != "adamw":
+            raise NotImplementedError("reducelronplateau supports adamw only")
+        return optax.inject_hyperparams(optax.adamw)(
+            learning_rate=t.lr, weight_decay=t.wd
+        )
     sched = make_lr_schedule(config)
     if t.optimizer == "adamw":
         tx = optax.adamw(sched, weight_decay=t.wd)
@@ -75,6 +84,18 @@ def make_optimizer(config: SvolConfig) -> optax.GradientTransformation:
             {"train": tx, "frozen": optax.set_to_zero()}, label_fn
         )
     return tx
+
+
+def reduce_lr_on_plateau(state: TrainState, factor: float = 0.1) -> TrainState:
+    """Scale the injected learning rate (reducelronplateau scheduler)."""
+    opt_state = state.opt_state
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = hp["learning_rate"] * factor
+    return state.replace(opt_state=opt_state._replace(hyperparams=hp))
+
+
+def current_lr(state: TrainState) -> float:
+    return float(state.opt_state.hyperparams["learning_rate"])
 
 
 def create_train_state(
