@@ -3,8 +3,13 @@
 Functional equivalent of lib/dataset/svol_dataset.py:15-329 with the ragged
 list-of-dict targets replaced by fixed arrays (JAX needs static shapes):
 
-    video      (T, H, W, 3) float32 in [0, 1]   (+ frame_valid (T,))
-    sketch     (1, H, W, 3) float32 in [0, 1]
+    video      (T, H, W, 3) uint8   (+ frame_valid (T,))
+    sketch     (1, H, W, 3) uint8
+
+Pixels stay uint8 end-to-end on the host; the model normalizes to [0, 1] on
+device (models/model.py). This quarters host->device transfer and skips a
+host-side float conversion pass — on this environment's tunneled TPU the
+f32 batch transfer was 5x the step's compute time.
     boxes      (T, K, 4)    normalized cxcywh   (+ box_valid (T, K))
 
 K = num_queries_per_frame caps boxes per frame (10 covers ImageNet-VID).
@@ -62,8 +67,8 @@ def xyxy_abs_to_cxcywh_norm(bbox, w: float, h: float) -> np.ndarray:
 class SVOLExample:
     """One (sketch, video) item: arrays for the device + host metadata."""
 
-    video: np.ndarray  # (T, H, W, 3) float32
-    sketch: np.ndarray  # (1, H, W, 3) float32
+    video: np.ndarray  # (T, H, W, 3) uint8
+    sketch: np.ndarray  # (1, H, W, 3) uint8
     video_mask: np.ndarray  # (T,) float32, 1 = valid
     sketch_mask: np.ndarray  # (1,) float32
     boxes: np.ndarray  # (T, K, 4) float32 cxcywh normalized
@@ -174,10 +179,9 @@ class SVOLDataset:
             frames = np.stack(
                 [_imread_rgb(p, self.image_size) for p in frame_paths]
             )
-        frames = frames.astype(np.float32) / 255.0
         sketch = _imread_rgb(
             self._sketch_path(sketch_id, sketch_ds), self.image_size
-        ).astype(np.float32)[None] / 255.0
+        )[None]
 
         flip_video = rng.random() < self.hflip_prob
         flip_sketch = rng.random() < self.hflip_prob
@@ -213,7 +217,7 @@ class SVOLDataset:
             t += 1
 
         n_valid_frames = len(frames)
-        video = np.zeros((self.T, self.image_size, self.image_size, 3), np.float32)
+        video = np.zeros((self.T, self.image_size, self.image_size, 3), np.uint8)
         video[:n_valid_frames] = frames
         video_mask = np.zeros((self.T,), np.float32)
         video_mask[:n_valid_frames] = 1.0

@@ -99,13 +99,21 @@ class SketchLocalizationModel(nn.Module):
 
     def __call__(
         self,
-        src_sketch: Array,  # (B, 1, H, W, 3) in [0, 1]
-        src_video: Array,  # (B, T, H, W, 3) in [0, 1]
+        src_sketch: Array,  # (B, 1, H, W, 3): uint8 pixels or floats in [0, 1]
+        src_video: Array,  # (B, T, H, W, 3): uint8 pixels or floats in [0, 1]
         src_sketch_mask: Array,  # (B, 1) 1 = valid
         src_video_mask: Array,  # (B, T) 1 = valid
         train: bool = False,
         return_attention: bool = False,
     ) -> Dict[str, Any]:
+        # pixels travel host->device as uint8 (4x less transfer than f32);
+        # normalization to [0, 1] happens here, on device
+        f = self.dtype or jnp.float32
+        if jnp.issubdtype(src_video.dtype, jnp.integer):
+            src_video = src_video.astype(f) / 255.0
+        if jnp.issubdtype(src_sketch.dtype, jnp.integer):
+            src_sketch = src_sketch.astype(f) / 255.0
+
         feat_sketch, feat_video = self.backbone(src_sketch, src_video, train=train)
 
         L_sketch = feat_sketch.shape[1]

@@ -96,7 +96,7 @@ def test_dataset_item_shapes(fixture_root):
     assert ex.sketch.shape == (1, IMG, IMG, 3)
     assert ex.boxes.shape == (T, K, 4)
     assert ex.box_valid.shape == (T, K)
-    assert 0.0 <= ex.video.min() and ex.video.max() <= 1.0
+    assert ex.video.dtype == np.uint8  # pixels stay uint8 on host
     # every sampled frame of the fixture has exactly one box
     assert ex.box_valid[:, 0].all() and not ex.box_valid[:, 1:].any()
     # boxes normalized cxcywh in [0,1]
@@ -127,7 +127,7 @@ def test_box_alignment_with_pixels(fixture_root):
     ex = ds[0]
     frame = ex.video[0]
     cx, cy, w, h = ex.boxes[0, 0]
-    ys, xs = np.where(frame.std(axis=-1) > 0.1)  # colored = non-gray pixels
+    ys, xs = np.where(frame.astype(np.float32).std(axis=-1) > 25)  # colored pixels
     assert len(xs) > 0
     got_cx = (xs.min() + xs.max() + 1) / 2 / IMG
     got_cy = (ys.min() + ys.max() + 1) / 2 / IMG
@@ -145,7 +145,7 @@ def test_flip_consistency(fixture_root):
     ex = ds[0]
     frame = ex.video[0]
     cx = ex.boxes[0, 0, 0]
-    ys, xs = np.where(frame.std(axis=-1) > 0.1)
+    ys, xs = np.where(frame.astype(np.float32).std(axis=-1) > 25)
     got_cx = (xs.min() + xs.max() + 1) / 2 / IMG
     assert abs(got_cx - cx) < 0.04
 

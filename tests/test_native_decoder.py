@@ -63,5 +63,5 @@ def test_dataset_native_vs_cv2(tmp_path):
     ds_native = SVOLDataset(decoder="native", **kwargs)
     ds_cv2 = SVOLDataset(decoder="cv2", **kwargs)
     a, b = ds_native[0], ds_cv2[0]
-    assert np.abs(a.video - b.video).mean() < 0.01
+    assert np.abs(a.video.astype(int) - b.video.astype(int)).mean() < 2.5
     np.testing.assert_array_equal(a.boxes, b.boxes)
