@@ -12,6 +12,7 @@ for periodic saves (train.py:276-283).
 from __future__ import annotations
 
 import os
+from typing import Optional
 
 import orbax.checkpoint as ocp
 
@@ -71,6 +72,19 @@ def restore_checkpoint(
             opt_state=restored["opt_state"], step=restored["step"]
         )
     return state
+
+
+def find_latest_checkpoint(base_dir: str) -> Optional[str]:
+    """Most recently written checkpoint directory under ``base_dir`` (best or
+    periodic), identified by its sidecar config; None if none exist."""
+    if not os.path.isdir(base_dir):
+        return None
+    candidates = []
+    for name in os.listdir(base_dir):
+        path = os.path.join(base_dir, name)
+        if os.path.isdir(path) and os.path.exists(path + ".config.json"):
+            candidates.append((os.path.getmtime(path), path))
+    return max(candidates)[1] if candidates else None
 
 
 def best_checkpoint_name(config: SvolConfig) -> str:
