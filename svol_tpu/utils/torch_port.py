@@ -129,6 +129,71 @@ def convert_hf_vit(state_dict, num_layers: int = 12) -> Dict[str, Any]:
     return {"params": p}
 
 
+def build_pretrained_checkpoint(
+    config, video_ckpt: str, sketch_ckpt: str, out_dir: str, name: str = "pretrained_init"
+) -> str:
+    """Create a ``--resume``-able checkpoint whose backbone carries ported
+    torchvision/HF weights and whose head is freshly initialized — the
+    equivalent of the reference starting from IMAGENET1K weights
+    (backbone.py:135-137). Returns the checkpoint path.
+    """
+    import jax
+
+    from svol_tpu.models import build_model
+    from svol_tpu.train.checkpoints import save_checkpoint
+    from svol_tpu.train.state import create_train_state
+
+    model = build_model(config)
+    S = config.data.image_size
+    import numpy as np_
+
+    sample = {
+        "src_sketch": np_.zeros((1, 1, S, S, 3), np_.float32),
+        "src_video": np_.zeros((1, 1, S, S, 3), np_.float32),
+        "src_sketch_mask": np_.ones((1, 1), np_.float32),
+        "src_video_mask": np_.ones((1, 1), np_.float32),
+    }
+    state = create_train_state(
+        config, model, jax.random.PRNGKey(config.train.seed), sample
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    variables = load_backbone_weights(
+        variables, config.model.backbone,
+        video_ckpt=video_ckpt, sketch_ckpt=sketch_ckpt,
+    )
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    return save_checkpoint(out_dir, name, state, config)
+
+
+def main(argv=None) -> None:
+    """CLI: port torch backbone weights into a resumable checkpoint.
+
+    python -m svol_tpu.utils.torch_port --backbone resnet \
+        --video_ckpt resnet34.pth --sketch_ckpt resnet18.pth --out ./save
+    then train with:  --resume ./save/pretrained_init
+    """
+    import argparse
+
+    from svol_tpu.config import SvolConfig
+
+    p = argparse.ArgumentParser(description="torch->flax backbone weight port")
+    p.add_argument("--backbone", default="resnet", choices=["resnet", "vit"])
+    p.add_argument("--video_ckpt", required=True)
+    p.add_argument("--sketch_ckpt", required=True)
+    p.add_argument("--out", default="./save")
+    p.add_argument("--name", default="pretrained_init")
+    args = p.parse_args(argv)
+
+    cfg = SvolConfig()
+    cfg.model.backbone = args.backbone
+    path = build_pretrained_checkpoint(
+        cfg, args.video_ckpt, args.sketch_ckpt, args.out, args.name
+    )
+    print(f"wrote pretrained-init checkpoint: {path}")
+
+
 def load_backbone_weights(variables, backbone: str,
                           video_ckpt: str = "", sketch_ckpt: str = ""):
     """Graft converted backbone weights into a full model's variables.
@@ -154,3 +219,7 @@ def load_backbone_weights(variables, backbone: str,
         if "batch_stats" in converted and "batch_stats" in variables:
             variables["batch_stats"]["backbone"][name] = converted["batch_stats"]
     return variables
+
+
+if __name__ == "__main__":
+    main()

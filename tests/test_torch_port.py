@@ -12,8 +12,8 @@ from svol_tpu.utils.torch_port import (
 )
 
 
-def fake_torchvision_resnet18_sd(rng):
-    """Random state dict with torchvision resnet18 names/shapes."""
+def fake_torchvision_resnet_sd(rng, stage_sizes=(2, 2, 2, 2)):
+    """Random state dict with torchvision BasicBlock-resnet names/shapes."""
     sd = {}
 
     def conv(name, cout, cin, k):
@@ -29,7 +29,7 @@ def fake_torchvision_resnet18_sd(rng):
     bn("bn1", 64)
     cin = 64
     for stage, (blocks, cout) in enumerate(
-        [(2, 64), (2, 128), (2, 256), (2, 512)], start=1
+        zip(stage_sizes, (64, 128, 256, 512)), start=1
     ):
         for b in range(blocks):
             pre = f"layer{stage}.{b}"
@@ -57,7 +57,7 @@ def tree_structure_equal(a, b, path=""):
 
 
 def test_resnet18_port_structure_and_forward(rng):
-    sd = fake_torchvision_resnet18_sd(rng)
+    sd = fake_torchvision_resnet_sd(rng)
     converted = convert_resnet18(sd)
 
     model = resnet18(include_pool=True, name=None)
@@ -76,6 +76,45 @@ def test_resnet18_port_structure_and_forward(rng):
     )
     assert out.shape == (2, 512)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pretrained_checkpoint_bootstrap(rng, tmp_path):
+    """Fake torchvision resnet34/18 state dicts -> resumable checkpoint ->
+    restore into a fresh train state with ported backbone weights."""
+    from svol_tpu.config import DataConfig, ModelConfig, SvolConfig
+    from svol_tpu.train.checkpoints import restore_checkpoint
+    from svol_tpu.train.state import create_train_state
+    from svol_tpu.models import build_model
+    from svol_tpu.utils.torch_port import build_pretrained_checkpoint
+
+    T, K, IMG = 2, 2, 64
+    cfg = SvolConfig(
+        data=DataConfig(num_frames=T, max_boxes_per_frame=K, image_size=IMG),
+        model=ModelConfig(hidden_dim=32, nheads=4, num_layers=2,
+                          num_queries=T * K, num_queries_per_frame=K,
+                          cmt_dim_feedforward=32, compute_dtype="float32"),
+    )
+    vid_sd = fake_torchvision_resnet_sd(rng, stage_sizes=(3, 4, 6, 3))
+    skch_sd = fake_torchvision_resnet_sd(rng, stage_sizes=(2, 2, 2, 2))
+    # save as npz (path-based flow)
+    vid_path, skch_path = str(tmp_path / "r34.npz"), str(tmp_path / "r18.npz")
+    np.savez(vid_path, **vid_sd)
+    np.savez(skch_path, **skch_sd)
+
+    ckpt = build_pretrained_checkpoint(cfg, vid_path, skch_path, str(tmp_path))
+
+    model = build_model(cfg)
+    sample = {
+        "src_sketch": np.zeros((1, 1, IMG, IMG, 3), np.float32),
+        "src_video": np.zeros((1, T, IMG, IMG, 3), np.float32),
+        "src_sketch_mask": np.ones((1, 1), np.float32),
+        "src_video_mask": np.ones((1, T), np.float32),
+    }
+    state = create_train_state(cfg, model, jax.random.PRNGKey(7), sample)
+    state = restore_checkpoint(ckpt, state)
+    got = np.asarray(state.params["backbone"]["video_backbone"]["conv1"]["kernel"])
+    exp = np.transpose(vid_sd["conv1.weight"], (2, 3, 1, 0))
+    np.testing.assert_allclose(got, exp)
 
 
 def test_hf_vit_port_numeric_parity(rng):
