@@ -129,6 +129,99 @@ def convert_hf_vit(state_dict, num_layers: int = 12) -> Dict[str, Any]:
     return {"params": p}
 
 
+def _mha(sd: Dict[str, np.ndarray], prefix: str, d_model: int) -> Dict[str, Any]:
+    """torch.nn.MultiheadAttention state -> our MultiheadAttention tree.
+
+    torch packs q/k/v as ``in_proj_weight`` (3D, D) rows; our module keeps
+    separate Dense submodules with (in, out) kernels, so each slice is
+    transposed (models/layers.py:32-66).
+    """
+    w = sd[prefix + ".in_proj_weight"]
+    b = sd[prefix + ".in_proj_bias"]
+    out: Dict[str, Any] = {}
+    for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+        out[name] = {
+            "kernel": w[i * d_model:(i + 1) * d_model].T,
+            "bias": b[i * d_model:(i + 1) * d_model],
+        }
+    out["out_proj"] = {
+        "kernel": sd[prefix + ".out_proj.weight"].T,
+        "bias": sd[prefix + ".out_proj.bias"],
+    }
+    return out
+
+
+def convert_svanet(
+    state_dict, num_layers: int = 2, n_input_proj: int = 2, d_model: int = 256
+) -> Dict[str, Any]:
+    """Reference-SVANet torch state dict -> our Flax SVANet params.
+
+    Maps every live parameter of /root/reference/lib/modeling/svanet.py +
+    cross_modal_transformer.py onto svol_tpu.models.svanet.SVANet's tree:
+      * input_{video,sketch}_proj.{i}.{LayerNorm,net.1}  -> proj{i}/{norm,linear}
+      * query_embed.weight                               -> query_embed
+      * transformer.layers.{i}.sketch_video_cross_attn   -> q/k projections of
+        GatedSketchVideoAttention (its value/out_proj weights are dead in the
+        reference too — only the attention *weights* are used as the gate,
+        cross_modal_transformer.py:124-125)
+      * {content_self,token_self,content_token_cross}_attn, norm1-6, mlp1/2
+      * class_embed / bbox_embed.layers.{i}
+    Dead reference parameters (class_head, gate value/out_proj) are skipped.
+    Returns {'params': ...} ready to merge over a model.init tree.
+    """
+    sd = load_state_dict(state_dict)
+
+    def lin(prefix):
+        return {"kernel": sd[prefix + ".weight"].T, "bias": sd[prefix + ".bias"]}
+
+    def ln(prefix):
+        return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+    def input_proj(prefix):
+        return {
+            f"proj{i}": {
+                "norm": ln(f"{prefix}.{i}.LayerNorm"),
+                "linear": lin(f"{prefix}.{i}.net.1"),
+            }
+            for i in range(n_input_proj)
+        }
+
+    p: Dict[str, Any] = {
+        "input_video_proj": input_proj("input_video_proj"),
+        "input_sketch_proj": input_proj("input_sketch_proj"),
+        "query_embed": sd["query_embed.weight"],
+        "class_embed": lin("class_embed"),
+        "bbox_embed": {
+            f"layer{i}": lin(f"bbox_embed.layers.{i}") for i in range(3)
+        },
+    }
+    tr: Dict[str, Any] = {}
+    for i in range(num_layers):
+        src = f"transformer.layers.{i}"
+        in_w = sd[f"{src}.sketch_video_cross_attn.in_proj_weight"]
+        in_b = sd[f"{src}.sketch_video_cross_attn.in_proj_bias"]
+        layer: Dict[str, Any] = {
+            "sketch_video_cross_attn": {
+                "q_proj_kernel": in_w[:d_model].T,
+                "q_proj_bias": in_b[:d_model],
+                "k_proj_kernel": in_w[d_model:2 * d_model].T,
+                "k_proj_bias": in_b[d_model:2 * d_model],
+            },
+            "content_self_attn": _mha(sd, f"{src}.content_self_attn", d_model),
+            "token_self_attn": _mha(sd, f"{src}.token_self_attn", d_model),
+            "content_token_cross_attn": _mha(
+                sd, f"{src}.content_token_cross_attn", d_model
+            ),
+            "mlp1": {"fc1": lin(f"{src}.mlp1.fc1"), "fc2": lin(f"{src}.mlp1.fc2")},
+            "mlp2": {"fc1": lin(f"{src}.mlp2.fc1"), "fc2": lin(f"{src}.mlp2.fc2")},
+        }
+        for n in range(1, 7):
+            layer[f"norm{n}"] = ln(f"{src}.norm{n}")
+        tr[f"layer{i}"] = layer
+    p["transformer"] = tr
+    return {"params": p}
+
+
 def build_pretrained_checkpoint(
     config, video_ckpt: str, sketch_ckpt: str, out_dir: str, name: str = "pretrained_init"
 ) -> str:
