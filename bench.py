@@ -14,6 +14,13 @@ host<->device round trip across all N steps.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}; baseline is
 the 4,000 frames/sec/chip target from BASELINE.md.
+
+``--with-input`` measures the input-inclusive companion number instead: each
+timed step ships a fresh uint8 batch host->device (the transport the training
+pipeline uses), normalizes on device, runs the forward, and fetches the
+outputs — so the host<->device boundary that dominates the reference's
+dataloading meter (train.py:213) is inside the measurement. JPEG decode stays
+outside (host-CPU-bound; see PERFORMANCE.md "Input pipeline" for its cost).
 """
 from __future__ import annotations
 
@@ -42,7 +49,45 @@ def chained_steps(predict, variables, batch, n_iters: int):
     return run
 
 
-def main() -> None:
+def with_input_fps(predict, variables, cfg, batch_size: int, n_iters: int) -> float:
+    """Input-inclusive steps: uint8 batch host->device + on-device normalize
+    + forward, outputs fetched per step — the fetch is the completion barrier
+    (block_until_ready is unreliable on this backend, CLAUDE.md)."""
+    import numpy as np
+
+    import jax
+
+    T, S = cfg.data.num_frames, cfg.data.image_size
+    rng = np.random.default_rng(0)
+    host_batches = []
+    for i in range(2):  # alternate two host batches so no caching can hide
+        host_batches.append({
+            "src_sketch": rng.integers(0, 256, (batch_size, 1, S, S, 3), np.uint8),
+            "src_video": rng.integers(0, 256, (batch_size, T, S, S, 3), np.uint8),
+            "src_sketch_mask": np.ones((batch_size, 1), np.float32),
+            "src_video_mask": np.ones((batch_size, T), np.float32),
+        })
+    device = jax.devices()[0]
+    jitted = jax.jit(predict)
+
+    def step(host_batch):
+        dev = {k: jax.device_put(v, device) for k, v in host_batch.items()}
+        scores, boxes = jitted(variables, dev)
+        return float(np.asarray(scores).sum()) + float(np.asarray(boxes).sum())
+
+    step(host_batches[0])  # warmup / compile
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            step(host_batches[i % 2])
+        best_dt = min(best_dt, (time.perf_counter() - t0) / n_iters)
+    return batch_size * T / best_dt
+
+
+def main(argv=None) -> None:
+    import argparse
+
     import jax
 
     from __graft_entry__ import (
@@ -52,35 +97,45 @@ def main() -> None:
         init_variables,
     )
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--with-input", action="store_true",
+                    help="include uint8 host->device transfer + normalize in "
+                         "the timed loop (end-to-end companion number)")
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args(argv)
+
     _enable_compile_cache()
     from svol_tpu.models import build_model
     from svol_tpu.train.steps import make_predict_fn
 
     cfg = _flagship_config()
-    batch_size = 8
-    n_iters = 20
+    batch_size = args.batch_size
+    n_iters = args.iters
     model = build_model(cfg)
-    batch = _sample_batch(cfg, batch_size=batch_size)
     variables = init_variables(model, cfg)
     predict = make_predict_fn(model.apply)
 
     device = jax.devices()[0]
     variables = jax.device_put(variables, device)
-    batch = jax.device_put(batch, device)
 
-    run = chained_steps(predict, variables, batch, n_iters)
-    float(run(variables, batch))  # warmup / compile (fetch forces completion)
+    if args.with_input:
+        fps = with_input_fps(predict, variables, cfg, batch_size, n_iters)
+        metric = "inference_throughput_e2e_input"
+    else:
+        batch = jax.device_put(_sample_batch(cfg, batch_size=batch_size), device)
+        run = chained_steps(predict, variables, batch, n_iters)
+        float(run(variables, batch))  # warmup / compile (fetch forces completion)
+        best_dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(variables, batch))  # host fetch = true completion barrier
+            best_dt = min(best_dt, (time.perf_counter() - t0) / n_iters)
+        fps = batch_size * cfg.data.num_frames / best_dt
+        metric = "inference_throughput"
 
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(run(variables, batch))  # host fetch = true completion barrier
-        best_dt = min(best_dt, (time.perf_counter() - t0) / n_iters)
-
-    frames_per_step = batch_size * cfg.data.num_frames
-    fps = frames_per_step / best_dt
     print(json.dumps({
-        "metric": "inference_throughput",
+        "metric": metric,
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

@@ -99,8 +99,11 @@ def get_results(
         device_batch = dict(batch)
         device_batch.update(extra["targets"])
         losses, scores, boxes = eval_step(state, device_batch)
+        # a padded tail batch (pipeline.threaded_batches pad_to_batch) keeps
+        # the executable shape fixed; weight its loss by the real count
+        n_real = extra.get("n_real", len(extra["meta"]))
         for k, v in losses.items():
-            loss_meters[k].update(float(v))
+            loss_meters[k].update(float(v), n=max(1, n_real))
         results.extend(
             assemble_results(
                 np.asarray(scores), np.asarray(boxes), extra["targets"],
@@ -172,6 +175,10 @@ def eval_setup(config: SvolConfig, sample_batch=None):
 
 
 def main(argv=None) -> None:
+    # multi-host bootstrap before any device use (test.py:215-218 equivalent)
+    from svol_tpu.parallel.distributed import initialize_multihost
+
+    initialize_multihost()
     config = config_from_args(argv)
     logger = setup_logger("SVOL_eval", config.train.log_dir,
                           filename=cur_time() + "_eval.txt")

@@ -34,7 +34,7 @@ from svol_tpu.train.checkpoints import (
     restore_checkpoint,
     save_checkpoint,
 )
-from svol_tpu.train.state import count_parameters, create_train_state
+from svol_tpu.train.state import PlateauTracker, count_parameters, create_train_state
 from svol_tpu.train.steps import make_eval_step, make_train_step
 from svol_tpu.utils import AverageMeter, cur_time, setup_logger
 from svol_tpu.utils.metrics_writer import MetricsWriter
@@ -43,6 +43,7 @@ from svol_tpu.utils.profiling import maybe_trace
 
 def train_val(config: SvolConfig, logger) -> None:
     plan = make_mesh_plan(config.train.dp_devices)
+    plan.set_active()  # in-model seq-parallel constraints target this mesh
     logger.info(f"mesh: {plan.mesh} (DP over {plan.data_axis_size} devices)")
     if config.data.bs % plan.data_axis_size:
         raise ValueError(
@@ -87,7 +88,7 @@ def train_val(config: SvolConfig, logger) -> None:
     writer = MetricsWriter(config.train.log_dir) if process_index == 0 else None
     best_metric = 0.0
     early_stop_count = 0
-    plateau_count = 0
+    plateau = PlateauTracker(factor=0.1, patience=1, threshold=0.5)
     start_iter = int(state.step)
     if config.train.start_iter is not None:
         start_iter = config.train.start_iter
@@ -179,17 +180,15 @@ def train_val(config: SvolConfig, logger) -> None:
             )
             if config.train.scheduler == "reducelronplateau":
                 # torch ReduceLROnPlateau(mode=max, factor=.1, patience=1,
-                # threshold=.5, rel) semantics — train.py:134-143
+                # threshold=.5, rel) semantics — train.py:134-143. The
+                # tracker keeps its OWN best (updated only on a >1.5x
+                # improvement), distinct from the early-stop/checkpoint
+                # best_metric below, which ratchets on any improvement.
                 from svol_tpu.train.state import reduce_lr_on_plateau
 
-                if cur_metric > best_metric * 1.5:
-                    plateau_count = 0
-                else:
-                    plateau_count += 1
-                    if plateau_count > 1:
-                        state = reduce_lr_on_plateau(state, 0.1)
-                        plateau_count = 0
-                        logger.info("plateau: learning rate reduced x0.1")
+                if plateau.step(cur_metric):
+                    state = reduce_lr_on_plateau(state, plateau.factor)
+                    logger.info("plateau: learning rate reduced x0.1")
 
             if cur_metric > best_metric:
                 early_stop_count = 0
@@ -218,6 +217,11 @@ def train_val(config: SvolConfig, logger) -> None:
 
 
 def main(argv=None) -> None:
+    # multi-host bootstrap before any device use (the torch.distributed
+    # init_process_group equivalent, train.py:362-366); no-op on one host
+    from svol_tpu.parallel.distributed import initialize_multihost
+
+    initialize_multihost()
     config = config_from_args(argv)
     logger = setup_logger(
         "SVOL", config.train.log_dir,

@@ -41,6 +41,11 @@ class DataConfig:
     # torch DataLoader workers, svol_dataloader.py:59).
     prefetch_buffer: int = 2
     hflip_prob: float = 0.5
+    # flip compat (see data/dataset.py module docstring): the reference flips
+    # frames per-frame independently and never flips boxes; defaults here fix
+    # both, the flags below restore reference behavior for strict comparisons
+    flip_boxes: bool = True
+    per_frame_flip: bool = False
     # auto = grain worker processes for train, threads for eval;
     # 'threads' avoids process spawn on constrained hosts.
     loader_backend: str = "auto"
@@ -80,6 +85,10 @@ class ModelConfig:
     input_skch_dim: int = 512
     # TPU-specific:
     use_pallas_attention: bool = False  # fused gated cross-attention kernel
+    # TPU stem: 'space_to_depth' is the mathematically-equivalent MXU-friendly
+    # rearrangement of the 7x7/s2 entry conv (models/resnet.py); checkpoints
+    # convert losslessly between the two (utils/torch_port.py)
+    resnet_stem: str = "conv7"  # conv7 | space_to_depth
     compute_dtype: str = "bfloat16"  # activations dtype under jit
     param_dtype: str = "float32"
 
@@ -96,6 +105,10 @@ class LossConfig:
     aux_loss: bool = True
     # on_device: exact JAX Hungarian inside jit; callback: scipy via pure_callback
     hungarian_impl: str = "on_device"
+    # solve final+aux matching as ONE wide vmapped LSAP (halves matching
+    # time; opt-in — crashed this environment's tunneled TPU worker when
+    # fused into the train step, see PERFORMANCE.md + scripts/repro_wide_matcher.py)
+    merged_matcher: bool = False
 
 
 @dataclass
@@ -225,6 +238,7 @@ _FLAG_MAP = {
     "zeroshot_dataset_eval": ("data", "zeroshot_dataset_eval"),
     "zeroshot_category_eval": ("data", "zeroshot_category_eval"),
     "unified_sketch_dataset": ("data", "unified_sketch_dataset"),
+    "per_frame_flip": ("data", "per_frame_flip"),
     "sketch_head": ("model", "sketch_head"),
     "backbone": ("model", "backbone"),
     "hidden_dim": ("model", "hidden_dim"),
@@ -244,7 +258,10 @@ _FLAG_MAP = {
     "enc_layers": ("model", "enc_layers"),
     "dec_layers": ("model", "dec_layers"),
     "use_pallas_attention": ("model", "use_pallas_attention"),
+    "resnet_stem": ("model", "resnet_stem"),
+    "compute_dtype": ("model", "compute_dtype"),
     "matcher": ("loss", "matcher"),
+    "merged_matcher": ("loss", "merged_matcher"),
     "set_cost_bbox": ("loss", "set_cost_bbox"),
     "set_cost_giou": ("loss", "set_cost_giou"),
     "set_cost_class": ("loss", "set_cost_class"),
@@ -276,9 +293,10 @@ _FLAG_MAP = {
 
 _BOOL_STORE_TRUE = {
     "tight_frame_sampling", "zeroshot_dataset_eval", "zeroshot_category_eval",
-    "unified_sketch_dataset", "pre_norm", "debug", "eval_untrained",
+    "unified_sketch_dataset", "per_frame_flip", "pre_norm", "debug",
+    "eval_untrained",
     "resume_all", "freeze_backbone", "no_sort_results", "use_pallas_attention",
-    "profile",
+    "profile", "merged_matcher",
 }
 
 
@@ -312,6 +330,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
             p.add_argument(f"--{flag}", type=type(default), default=default)
     # negative-flag aliases matching the reference exactly
     p.add_argument("--no_aux_loss", dest="aux_loss", action="store_false", default=True)
+    p.add_argument("--no_flip_boxes", dest="flip_boxes", action="store_false",
+                   default=True,
+                   help="reference-compat: do NOT flip target boxes with frames")
     # ablation-mode alias: the reference selects fusion variants via --mode
     # (svanet_variants.py:298, never defined in its configs.py)
     p.add_argument("--mode", dest="variant_mode",
@@ -331,6 +352,7 @@ def config_from_args(argv: Optional[List[str]] = None) -> SvolConfig:
         setattr(getattr(cfg, section), fname, getattr(args, flag))
     cfg.loss.aux_loss = args.aux_loss
     cfg.model.aux_loss = args.aux_loss
+    cfg.data.flip_boxes = args.flip_boxes
     cfg.model.variant_mode = args.variant_mode
     cfg.data.max_boxes_per_frame = cfg.model.num_queries_per_frame
     cfg.validate()

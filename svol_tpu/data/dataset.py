@@ -22,13 +22,18 @@ Decoding uses OpenCV (libjpeg-turbo) instead of PIL — measurably faster for
 the N*T JPEG decodes per step that dominate the reference's dataloader time
 (train.py:213).
 
-Augmentation: the reference random-h-flips frames *without* flipping the
-target boxes (svol_dataset.py:218-232 — an augmentation/label mismatch noted
-in SURVEY.md §3.4). We flip boxes consistently by default;
-``flip_boxes=False`` restores reference behavior for strict comparisons.
+Augmentation: the reference applies RandomHorizontalFlip *per frame
+independently* and *without* flipping the target boxes
+(svol_dataset.py:218-232 runs the transform inside the per-frame loop — an
+augmentation/label mismatch noted in SURVEY.md §3.4). Our default is the
+fixed behavior: one clip-level flip decision with boxes flipped to match.
+For strict reference comparisons, ``per_frame_flip=True`` restores the
+independent per-frame flips and ``flip_boxes=False`` restores the unflipped
+boxes; both together reproduce the reference exactly.
 """
 from __future__ import annotations
 
+import itertools
 import os
 import random
 from dataclasses import dataclass, field
@@ -93,6 +98,7 @@ class SVOLDataset:
         unified_sketch_dataset: bool = False,
         hflip_prob: float = 0.5,
         flip_boxes: bool = True,
+        per_frame_flip: bool = False,
         seed: int = 1,
         decoder: str = "cv2",  # cv2 | native | auto
         # cv2 default: on this 1-CPU container SIMD cv2 decode edges out the
@@ -107,6 +113,7 @@ class SVOLDataset:
         self.tight = tight_frame_sampling
         self.hflip_prob = hflip_prob if phase == "train" else 0.0
         self.flip_boxes = flip_boxes
+        self.per_frame_flip = per_frame_flip
         self.seed = seed
         self.video_dataset = video_dataset
         self.sketch_dataset = sketch_dataset
@@ -126,6 +133,14 @@ class SVOLDataset:
         self.annos = load_json(
             os.path.join(root, video_dataset, "Annotations", "VID", f"{folder}.json")
         )
+        # per-instance visit counter: mixes into the augmentation RNG so a
+        # revisited example draws a fresh flip each epoch (the reference's
+        # RandomHorizontalFlip re-randomizes on every access,
+        # svol_dataset.py:218-232). Deterministic given a deterministic
+        # visitation order (grain/threaded loaders are); each loader worker
+        # process carries its own copy, which is fine — (worker, position)
+        # is itself deterministic.
+        self._visit = itertools.count()
         self.pairs = build_pair_list(
             root, anno_root, phase,
             video_dataset=video_dataset, sketch_dataset=sketch_dataset,
@@ -162,7 +177,13 @@ class SVOLDataset:
         w, h = vid_annos["size"]
 
         sampled = sample_frame_indices(total_frames, self.T, self.tight)
-        rng = random.Random(self.seed * 1_000_003 + idx if self.phase == "train" else idx)
+        if self.phase == "train":
+            visit = next(self._visit)
+            rng = random.Random(
+                (self.seed * 1_000_003 + idx) ^ (visit * 2_654_435_761)
+            )
+        else:
+            rng = random.Random(idx)
 
         # decode frames + sketch (native batched decoder when available —
         # one C++ call per clip instead of T python decode round-trips)
@@ -183,10 +204,23 @@ class SVOLDataset:
             self._sketch_path(sketch_id, sketch_ds), self.image_size
         )[None]
 
-        flip_video = rng.random() < self.hflip_prob
+        if self.per_frame_flip:
+            # reference-exact: independent flip decision per frame
+            # (svol_dataset.py:218-232, transform inside the frame loop)
+            frame_flips = np.array(
+                [rng.random() < self.hflip_prob for _ in range(len(frames))]
+            )
+            if frame_flips.any():
+                frames = np.where(
+                    frame_flips[:, None, None, None],
+                    frames[:, :, ::-1, :], frames,
+                )
+        else:
+            flip_video = rng.random() < self.hflip_prob
+            frame_flips = np.full((len(frames),), flip_video)
+            if flip_video:
+                frames = frames[:, :, ::-1, :].copy()
         flip_sketch = rng.random() < self.hflip_prob
-        if flip_video:
-            frames = frames[:, :, ::-1, :].copy()
         if flip_sketch:
             sketch = sketch[:, :, ::-1, :].copy()
 
@@ -207,7 +241,7 @@ class SVOLDataset:
                 if obj["label"] != category or n >= self.K:
                     continue
                 b = xyxy_abs_to_cxcywh_norm(obj["bbox"], w, h)
-                if flip_video and self.flip_boxes:
+                if self.flip_boxes and t < len(frame_flips) and frame_flips[t]:
                     b[0] = 1.0 - b[0]
                 boxes[t, n] = b
                 box_valid[t, n] = True
@@ -257,6 +291,8 @@ def build_dataset(config: SvolConfig, phase: str) -> SVOLDataset:
         zeroshot_category_eval=d.zeroshot_category_eval,
         unified_sketch_dataset=d.unified_sketch_dataset,
         hflip_prob=d.hflip_prob,
+        flip_boxes=d.flip_boxes,
+        per_frame_flip=d.per_frame_flip,
         seed=config.train.seed,
     )
 

@@ -87,12 +87,21 @@ def threaded_batches(
     seed: int = 1,
     infinite: bool = False,
     drop_remainder: bool = False,
+    pad_to_batch: bool = False,
     prefetch: int = 2,
     shard_index: int = 0,
     shard_count: int = 1,
 ) -> Iterator[Tuple[Dict[str, np.ndarray], Dict[str, Any]]]:
     """Ordered batch stream with background decoding; yields
-    (batch_arrays, {'targets': arrays, 'meta': [dicts]})."""
+    (batch_arrays, {'targets': arrays, 'meta': [dicts]}).
+
+    ``pad_to_batch`` keeps every yielded batch at exactly ``batch_size`` by
+    replicating the final example of a short tail batch; ``meta`` lists only
+    the real examples, so host-side result assembly drops the padding
+    automatically. This pins the eval executable to ONE shape — without it, a
+    val set not divisible by eval_bs compiles a second program for the tail
+    (minutes per shape on slow-compile backends; see CLAUDE.md).
+    """
     n = len(dataset)
     indices = list(range(shard_index, n, shard_count))
 
@@ -116,14 +125,33 @@ def threaded_batches(
     out_q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
 
+    def put_or_stop(item) -> bool:
+        """put with a timeout loop so an abandoned consumer (e.g. debug mode
+        breaking after one batch) can't leave the producer blocked forever on
+        a full queue — it notices stop and unwinds, releasing its pool."""
+        while not stop.is_set():
+            try:
+                out_q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer() -> None:
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
             for batch_idx in epochs():
                 if stop.is_set():
-                    break
+                    return
                 examples = list(pool.map(dataset.__getitem__, batch_idx))
-                out_q.put(collate(examples))
-            out_q.put(None)
+                n_real = len(examples)
+                if pad_to_batch and n_real < batch_size:
+                    examples = examples + [examples[-1]] * (batch_size - n_real)
+                batch, extra = collate(examples)
+                extra["meta"] = extra["meta"][:n_real]
+                extra["n_real"] = n_real
+                if not put_or_stop((batch, extra)):
+                    return
+            put_or_stop(None)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
@@ -167,6 +195,7 @@ def build_loader(
         seed=config.train.seed,
         infinite=train,
         drop_remainder=train,
+        pad_to_batch=not train,  # one executable shape across the val epoch
         prefetch=config.data.prefetch_buffer,
         shard_index=shard_index,
         shard_count=shard_count,

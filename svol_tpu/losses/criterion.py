@@ -30,6 +30,7 @@ from svol_tpu.losses.matcher import (
     MatchResult,
     match_per_frame,
     match_per_frame_rect,
+    match_per_frame_stacked,
     match_per_video,
 )
 from svol_tpu.ops.boxes import box_cxcywh_to_xyxy, generalized_box_iou
@@ -112,6 +113,7 @@ class SetCriterion:
         self.aux_loss = bool(l.aux_loss)
         self.per_frame = l.matcher == "per_frame_matcher"
         self.impl = l.hungarian_impl
+        self.merged_matcher = bool(getattr(l, "merged_matcher", False))
         # weight_dict mirrors loss.py:195-202 (incl. aux suffixes)
         self.weight_dict: Dict[str, float] = {
             "loss_bbox": self.cost_bbox,
@@ -148,17 +150,46 @@ class SetCriterion:
 
         logits, boxes = outputs["pred_logits"], outputs["pred_boxes"]
         qf = int(outputs.get("queries_per_frame", 0))
-        match = self._match(logits, boxes, tgt_boxes, tgt_valid, qf)
+        K = tgt_boxes.shape[2]
+        has_aux = self.aux_loss and "aux_logits" in outputs
+        use_merged = (
+            self.merged_matcher and has_aux and self.per_frame
+            and (not qf or qf == K)
+        )
+
+        if use_merged:
+            # one (L*B*T)-wide solve for final + all aux layers
+            all_logits = jnp.concatenate(
+                [logits[None], outputs["aux_logits"]], axis=0
+            )
+            all_boxes = jnp.concatenate(
+                [boxes[None], outputs["aux_boxes"]], axis=0
+            )
+            stacked = match_per_frame_stacked(
+                jax.lax.stop_gradient(all_logits),
+                jax.lax.stop_gradient(all_boxes),
+                tgt_boxes, tgt_valid,
+                cost_class=self.cost_class, cost_bbox=self.cost_bbox,
+                cost_giou=self.cost_giou, impl=self.impl,
+            )
+            match = MatchResult(stacked.tgt_index[0], stacked.matched[0])
+        else:
+            match = self._match(logits, boxes, tgt_boxes, tgt_valid, qf)
         losses = _losses_for_layer(
             logits, boxes, tgt_boxes, tgt_valid, match, self.eos_coef, self.per_frame
         )
 
-        if self.aux_loss and "aux_logits" in outputs:
+        if has_aux:
             n_aux = outputs["aux_logits"].shape[0]
             for i in range(n_aux):
                 a_logits = outputs["aux_logits"][i]
                 a_boxes = outputs["aux_boxes"][i]
-                a_match = self._match(a_logits, a_boxes, tgt_boxes, tgt_valid, qf)
+                if use_merged:
+                    a_match = MatchResult(
+                        stacked.tgt_index[i + 1], stacked.matched[i + 1]
+                    )
+                else:
+                    a_match = self._match(a_logits, a_boxes, tgt_boxes, tgt_valid, qf)
                 aux = _losses_for_layer(
                     a_logits, a_boxes, tgt_boxes, tgt_valid, a_match,
                     self.eos_coef, self.per_frame,

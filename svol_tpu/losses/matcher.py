@@ -128,6 +128,46 @@ def match_per_frame_rect(
     return MatchResult(tgt_index=tgt_index, matched=matched)
 
 
+def match_per_frame_stacked(
+    all_logits: Array,  # (L, B, Q, 2) — final + aux layers stacked
+    all_boxes: Array,  # (L, B, Q, 4)
+    tgt_boxes: Array,  # (B, T, K, 4)
+    tgt_valid: Array,  # (B, T, K) bool
+    cost_class: float = 2.0,
+    cost_bbox: float = 5.0,
+    cost_giou: float = 1.0,
+    impl: str = "on_device",
+) -> MatchResult:
+    """All decoder layers' per-frame LSAPs in ONE solver call.
+
+    The reference re-runs its matcher once per aux layer (loss.py:148-155);
+    the unmerged path here does the same with L sequential vmapped solves.
+    Stacking the layer axis into the vmap batch turns them into a single
+    (L*B*T)-wide solve — same assignments, fewer sequential while-loop
+    programs. Returns MatchResult with leading (L, B, ...) axes.
+
+    Opt-in via ``--merged_matcher``: round 1 measured the merged solve at
+    about half the matching time, but compiling it into the full train step
+    reproducibly crashed THIS environment's tunneled TPU worker
+    (PERFORMANCE.md); scripts/repro_wide_matcher.py isolates the trigger.
+    """
+    L = all_logits.shape[0]
+    B, T, K, _ = tgt_boxes.shape
+    logits = all_logits.reshape(L, B, T, K, -1)
+    boxes = all_boxes.reshape(L, B, T, K, 4)
+
+    # broadcast targets over the layer axis inside the cost computation
+    C = _cost_matrix(logits, boxes, tgt_boxes[None], cost_class, cost_bbox,
+                     cost_giou)  # (L, B, T, K, K)
+    C = masked_cost_matrix(C, tgt_valid[None])
+    solver = hungarian if impl == "on_device" else hungarian_scipy_callback
+    assign = solver(C)  # (L, B, T, K)
+    matched = jnp.take_along_axis(
+        jnp.broadcast_to(tgt_valid[None], assign.shape), assign, axis=-1
+    )
+    return MatchResult(tgt_index=assign, matched=matched)
+
+
 def match_per_video(
     pred_logits: Array,  # (B, Q, 2)
     pred_boxes: Array,  # (B, Q, 4)

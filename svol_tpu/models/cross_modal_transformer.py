@@ -57,6 +57,8 @@ class CrossModalTransformerLayer(nn.Module):
         deterministic: bool = True,
         need_weights: bool = False,
     ):
+        from svol_tpu.parallel.mesh import shard_video_tokens
+
         ln = lambda name: nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name=name)
 
         # --- (1) sketch->video gate -------------------------------------
@@ -64,7 +66,10 @@ class CrossModalTransformerLayer(nn.Module):
             d_model=self.d_model, num_heads=self.nhead, dtype=self.dtype,
             use_pallas=self.use_pallas, name="sketch_video_cross_attn",
         )(src_skch, mem + vid_pos, mem)  # att1 (B,1,L), gated (B,L,D)
-        mem = ln("norm1")(mem + gated)
+        # keep the video stream token-sharded over 'seq' through the layer
+        # (no-op off-mesh): the self-attention below then partitions as
+        # sharded-Q/gathered-KV with (L, L/seq)-sharded logits per device
+        mem = shard_video_tokens(ln("norm1")(mem + gated))
 
         # --- (2) video self-attention + MLP ------------------------------
         qk = mem + vid_pos
@@ -73,13 +78,13 @@ class CrossModalTransformerLayer(nn.Module):
             name="content_self_attn",
         )(qk, qk, mem, deterministic=deterministic, need_weights=need_weights)
         mem = ln("norm2")(attn_out + mem)
-        mem = ln("norm3")(
+        mem = shard_video_tokens(ln("norm3")(
             mem
             + TransformerMLP(
                 hidden_features=self.dim_feedforward, out_features=self.d_model,
                 activation=self.activation, dtype=self.dtype, name="mlp1",
             )(mem)
-        )
+        ))
 
         # --- (3) query-token self-attention ------------------------------
         qk = out + query_pos

@@ -83,6 +83,9 @@ class MultiheadAttention(nn.Module):
             # SVOL shapes, max output deviation ~4e-3). The max-subtraction
             # and the normalizing sum stay in f32 for stability. Weights
             # returned to callers always use the exact f32 softmax below.
+            # NOTE: active in eval too, so scores can drift ~4e-3 vs an f32
+            # run of the same checkpoint; bit-reproducible metric runs should
+            # pass --compute_dtype float32 (README "Accuracy parity").
             logits = jnp.einsum(
                 "bhqd,bhkd->bhqk", q * (head_dim**-0.5), k,
                 preferred_element_type=jnp.bfloat16,

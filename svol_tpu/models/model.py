@@ -28,7 +28,9 @@ class SketchLocalizationModel(nn.Module):
         cfg = self.config
         dtype = jnp.dtype(cfg.model.compute_dtype) if cfg.model.compute_dtype else None
         self.dtype = dtype
-        self.backbone = build_backbone(cfg.model.backbone, dtype=dtype)
+        self.backbone = build_backbone(
+            cfg.model.backbone, dtype=dtype, resnet_stem=cfg.model.resnet_stem
+        )
         vid_dim, skch_dim = backbone_feature_dims(cfg.model.backbone)
         self.tokens_per_frame = tokens_per_frame(cfg.model.backbone, cfg.data.image_size)
 
@@ -115,6 +117,14 @@ class SketchLocalizationModel(nn.Module):
             src_sketch = src_sketch.astype(f) / 255.0
 
         feat_sketch, feat_video = self.backbone(src_sketch, src_video, train=train)
+
+        # sequence parallelism: keep the video token axis sharded over the
+        # active mesh's 'seq' axis into the head (no-op off-mesh) — the conv
+        # trunk above is frame-independent (zero-comm), and this constraint
+        # lets XLA partition the head's video self-attention too
+        from svol_tpu.parallel.mesh import shard_video_tokens
+
+        feat_video = shard_video_tokens(feat_video)
 
         L_sketch = feat_sketch.shape[1]
         rep = feat_video.shape[1] // src_video.shape[1]  # tokens per frame

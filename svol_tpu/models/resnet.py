@@ -12,6 +12,14 @@ TPU notes:
     *global* batch automatically (the mean over a sharded axis inserts the
     collective), so DP training gets synced BN for free — the reference needs
     apex SyncBN for this (train.py:65-68).
+  * ``stem='space_to_depth'`` replaces the 7x7/s2 entry conv with the
+    mathematically-equivalent space-to-depth (block 2) + 4x4/s1 conv — the
+    standard TPU ResNet stem optimization: a 3-channel 224x224 stride-2 conv
+    badly underfills the MXU's 128 input lanes, while the rearranged 12-in
+    4x4 conv runs at 1/4 the spatial extent with 4x the channels.
+    ``conv7_to_s2d_kernel`` rearranges trained 7x7 weights exactly, so
+    torchvision ports and conv7-trained checkpoints carry over losslessly
+    (tests/test_resnet_stem.py proves bitwise-level equivalence).
 """
 from __future__ import annotations
 
@@ -25,6 +33,34 @@ from jax import Array
 # torch BatchNorm defaults
 BN_EPS = 1e-5
 BN_MOMENTUM = 0.9  # flax momentum = 1 - torch momentum (0.1)
+
+
+def space_to_depth(x: Array, block: int = 2) -> Array:
+    """(N, H, W, C) -> (N, H/b, W/b, b*b*C), channel-minor order (di, dj, c)."""
+    N, H, W, C = x.shape
+    b = block
+    x = x.reshape(N, H // b, b, W // b, b, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(N, H // b, W // b, b * b * C)
+
+
+def conv7_to_s2d_kernel(k: Array) -> Array:
+    """Rearrange a 7x7 stride-2 conv kernel (HWIO: (7, 7, C, F)) into the
+    exactly-equivalent 4x4 stride-1 kernel (4, 4, 4C, F) over
+    space-to-depth(2) inputs.
+
+    Derivation: output o(i,j) of the original conv reads input rows
+    2i + (a-3), a in [0, 7). Writing 2i + (a-3) = 2(i+q) + di with
+    q in {-2..1}, di in {0, 1} gives a = 2(q+2) + di - 1 — i.e. the 7x7
+    kernel zero-padded by one leading row/col to 8x8, then split into
+    (tap, parity) pairs. The s2d conv uses padding (2, 1) so tap index q+2
+    lands on block i+q, matching the original padding=3.
+    """
+    kp = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (8, 8, C, F)
+    C, F = k.shape[2], k.shape[3]
+    kp = kp.reshape(4, 2, 4, 2, C, F)  # (q_i, di, r_j, dj, C, F)
+    kp = kp.transpose(0, 2, 1, 3, 4, 5)  # (q_i, r_j, di, dj, C, F)
+    return kp.reshape(4, 4, 4 * C, F)
 
 
 class BasicBlock(nn.Module):
@@ -92,12 +128,20 @@ class ResNet(nn.Module):
     block: type = BasicBlock
     include_pool: bool = False
     dtype: Optional[jnp.dtype] = None
+    stem: str = "conv7"  # conv7 (torch layout) | space_to_depth (equivalent)
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         # x: (N, H, W, 3)
-        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        if self.stem == "space_to_depth":
+            y = nn.Conv(64, (4, 4), strides=(1, 1),
+                        padding=((2, 1), (2, 1)), use_bias=False,
+                        dtype=self.dtype, name="conv1_s2d")(space_to_depth(x))
+        elif self.stem == "conv7":
+            y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                        dtype=self.dtype, name="conv1")(x)
+        else:
+            raise ValueError(f"unknown stem {self.stem!r}")
         y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
@@ -116,16 +160,19 @@ class ResNet(nn.Module):
         return y
 
 
-def resnet18(include_pool: bool = False, dtype=None, name: str = "resnet18") -> ResNet:
+def resnet18(include_pool: bool = False, dtype=None, name: str = "resnet18",
+             stem: str = "conv7") -> ResNet:
     return ResNet(stage_sizes=(2, 2, 2, 2), block=BasicBlock,
-                  include_pool=include_pool, dtype=dtype, name=name)
+                  include_pool=include_pool, dtype=dtype, stem=stem, name=name)
 
 
-def resnet34(include_pool: bool = False, dtype=None, name: str = "resnet34") -> ResNet:
+def resnet34(include_pool: bool = False, dtype=None, name: str = "resnet34",
+             stem: str = "conv7") -> ResNet:
     return ResNet(stage_sizes=(3, 4, 6, 3), block=BasicBlock,
-                  include_pool=include_pool, dtype=dtype, name=name)
+                  include_pool=include_pool, dtype=dtype, stem=stem, name=name)
 
 
-def resnet50(include_pool: bool = False, dtype=None, name: str = "resnet50") -> ResNet:
+def resnet50(include_pool: bool = False, dtype=None, name: str = "resnet50",
+             stem: str = "conv7") -> ResNet:
     return ResNet(stage_sizes=(3, 4, 6, 3), block=Bottleneck,
-                  include_pool=include_pool, dtype=dtype, name=name)
+                  include_pool=include_pool, dtype=dtype, stem=stem, name=name)

@@ -17,12 +17,47 @@ mesh construction; each host feeds its own data shard
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from dataclasses import dataclass
 from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# The plan whose mesh in-model sharding constraints should target. Set with
+# MeshPlan.activate() around step tracing; None (default) makes every
+# constraint a no-op, so models run unchanged on a single device.
+_active_plan: contextvars.ContextVar = contextvars.ContextVar(
+    "svol_active_mesh_plan", default=None
+)
+
+
+def shard_video_tokens(x: Any, token_axis: int = 1) -> Any:
+    """Sequence-parallel sharding constraint for use INSIDE jitted model code.
+
+    Shards ``token_axis`` (the video frame/token dimension) over the active
+    plan's 'seq' mesh axis and the leading batch dimension over 'data'. With
+    this constraint on the transformer's video stream, XLA partitions the
+    video self-attention itself — each device computes its L/seq query rows
+    against all-gathered keys/values (the gather-K strategy), so the (L, L)
+    attention logits never materialize on one device and long clips scale
+    with the mesh instead of with HBM. No-op when no plan is active or the
+    'seq' axis is trivial.
+
+    New capability beyond the reference, which is DP-only (SURVEY §2
+    parallelism checklist; §5 long-context).
+    """
+    plan = _active_plan.get()
+    if plan is None or plan.seq_axis_size == 1:
+        return x
+    spec = [None] * x.ndim
+    spec[0] = "data"
+    spec[token_axis] = "seq"
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(plan.mesh, P(*spec))
+    )
 
 
 @dataclass
@@ -76,6 +111,25 @@ class MeshPlan:
     def replicate(self, tree: Any) -> Any:
         sharding = self.replicated_sharding()
         return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+    def set_active(self) -> None:
+        """Process-lifetime variant of :meth:`activate` for CLI entry points
+        that build one plan and use it until exit."""
+        _active_plan.set(self)
+
+    @contextlib.contextmanager
+    def activate(self):
+        """Make this plan the target of in-model sharding constraints
+        (shard_video_tokens). Wrap step tracing/execution:
+
+            with plan.activate():
+                state, metrics = train_step(state, batch, rng)
+        """
+        token = _active_plan.set(self)
+        try:
+            yield self
+        finally:
+            _active_plan.reset(token)
 
 
 def make_mesh_plan(

@@ -94,6 +94,39 @@ def reduce_lr_on_plateau(state: TrainState, factor: float = 0.1) -> TrainState:
     return state.replace(opt_state=opt_state._replace(hyperparams=hp))
 
 
+class PlateauTracker:
+    """Host-side decision logic of torch ReduceLROnPlateau (mode='max',
+    threshold_mode='rel', cooldown=0) — the reference's validation-metric
+    scheduler (train.py:134-143 builds it with factor=0.1, patience=1,
+    threshold=0.5).
+
+    Keeps its OWN best (updated only when ``metric > best * (1+threshold)``),
+    which is deliberately distinct from any checkpoint/early-stop best that
+    ratchets on every improvement. ``step`` returns True exactly when torch
+    would call ``_reduce_lr``; tests drive both with identical metric traces
+    (tests/test_schedulers.py).
+    """
+
+    def __init__(self, factor: float = 0.1, patience: int = 1,
+                 threshold: float = 0.5):
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.best = float("-inf")  # torch mode_worse for mode='max'
+        self.num_bad = 0
+
+    def step(self, metric: float) -> bool:
+        if metric > self.best * (1.0 + self.threshold):
+            self.best = metric
+            self.num_bad = 0
+            return False
+        self.num_bad += 1
+        if self.num_bad > self.patience:
+            self.num_bad = 0
+            return True
+        return False
+
+
 def current_lr(state: TrainState) -> float:
     return float(state.opt_state.hyperparams["learning_rate"])
 

@@ -50,15 +50,23 @@ def _bn(sd: Dict[str, np.ndarray], prefix: str) -> tuple:
 
 
 def convert_resnet(
-    state_dict, stage_sizes, bottleneck: bool = False
+    state_dict, stage_sizes, bottleneck: bool = False, stem: str = "conv7"
 ) -> Dict[str, Any]:
     """torchvision resnet state dict -> {'params': ..., 'batch_stats': ...}
-    matching svol_tpu.models.resnet.ResNet's tree."""
+    matching svol_tpu.models.resnet.ResNet's tree. ``stem='space_to_depth'``
+    additionally rearranges conv1 into the equivalent s2d layout
+    (models/resnet.py:conv7_to_s2d_kernel) — lossless."""
     sd = load_state_dict(state_dict)
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
 
-    params["conv1"] = {"kernel": _conv(sd["conv1.weight"])}
+    k1 = _conv(sd["conv1.weight"])
+    if stem == "space_to_depth":
+        from svol_tpu.models.resnet import conv7_to_s2d_kernel
+
+        params["conv1_s2d"] = {"kernel": np.asarray(conv7_to_s2d_kernel(k1))}
+    else:
+        params["conv1"] = {"kernel": k1}
     params["bn1"], stats["bn1"] = _bn(sd, "bn1")
 
     n_convs = 3 if bottleneck else 2
@@ -83,21 +91,38 @@ def convert_resnet(
     return {"params": params, "batch_stats": stats}
 
 
-def convert_resnet18(state_dict):
-    return convert_resnet(state_dict, (2, 2, 2, 2))
+def convert_resnet18(state_dict, stem: str = "conv7"):
+    return convert_resnet(state_dict, (2, 2, 2, 2), stem=stem)
 
 
-def convert_resnet34(state_dict):
-    return convert_resnet(state_dict, (3, 4, 6, 3))
+def convert_resnet34(state_dict, stem: str = "conv7"):
+    return convert_resnet(state_dict, (3, 4, 6, 3), stem=stem)
 
 
-def convert_resnet50(state_dict):
-    return convert_resnet(state_dict, (3, 4, 6, 3), bottleneck=True)
+def convert_resnet50(state_dict, stem: str = "conv7"):
+    return convert_resnet(state_dict, (3, 4, 6, 3), bottleneck=True, stem=stem)
 
 
-def convert_hf_vit(state_dict, num_layers: int = 12) -> Dict[str, Any]:
-    """HF ViTModel state dict -> svol_tpu.models.vit.ViT params."""
+def convert_hf_vit(
+    state_dict, num_layers: int = 12, image_size: int = 224, patch_size: int = 16
+) -> Dict[str, Any]:
+    """HF ViTModel state dict -> svol_tpu.models.vit.ViT params.
+
+    ``image_size``/``patch_size`` describe the *target* model; the grafted
+    position embeddings must match its token count (checked eagerly here —
+    a silent mismatch would only surface later as an opaque shape error at
+    restore/apply time).
+    """
     sd = load_state_dict(state_dict)
+    n_tokens = (image_size // patch_size) ** 2 + 1
+    pos_len = sd["embeddings.position_embeddings"].shape[-2]
+    if pos_len != n_tokens:
+        raise ValueError(
+            f"position_embeddings cover {pos_len} tokens but a "
+            f"{image_size}x{image_size}/p{patch_size} ViT expects {n_tokens}; "
+            "resize the checkpoint's pos_embed (bicubic grid interpolation) "
+            "or pass the matching image_size."
+        )
 
     def lin(prefix):  # torch (out, in) -> flax (in, out)
         return {"kernel": sd[prefix + ".weight"].T, "bias": sd[prefix + ".bias"]}
@@ -253,6 +278,7 @@ def build_pretrained_checkpoint(
     variables = load_backbone_weights(
         variables, config.model.backbone,
         video_ckpt=video_ckpt, sketch_ckpt=sketch_ckpt,
+        stem=config.model.resnet_stem,
     )
     state = state.replace(
         params=variables["params"], batch_stats=variables["batch_stats"]
@@ -271,7 +297,12 @@ def main(argv=None) -> None:
 
     from svol_tpu.config import SvolConfig
 
-    p = argparse.ArgumentParser(description="torch->flax backbone weight port")
+    p = argparse.ArgumentParser(
+        description="torch->flax backbone weight port. Only *backbone* "
+        "checkpoints (torchvision resnet .pth / HF ViTModel) are portable "
+        "this way; a reference-trained full SVOL .ckpt ('model' state dict) "
+        "ports its head via convert_svanet instead (tests/test_full_model_parity.py)."
+    )
     p.add_argument("--backbone", default="resnet", choices=["resnet", "vit"])
     p.add_argument("--video_ckpt", required=True)
     p.add_argument("--sketch_ckpt", required=True)
@@ -288,7 +319,8 @@ def main(argv=None) -> None:
 
 
 def load_backbone_weights(variables, backbone: str,
-                          video_ckpt: str = "", sketch_ckpt: str = ""):
+                          video_ckpt: str = "", sketch_ckpt: str = "",
+                          stem: str = "conv7"):
     """Graft converted backbone weights into a full model's variables.
 
     ``variables`` is the tree from ``model.init``; returns an updated copy.
@@ -298,8 +330,11 @@ def load_backbone_weights(variables, backbone: str,
     import flax
 
     variables = flax.core.unfreeze(variables)
-    convert_video = convert_resnet34 if "resnet" in backbone else convert_hf_vit
-    convert_sketch = convert_resnet18 if "resnet" in backbone else convert_hf_vit
+    if "resnet" in backbone:
+        convert_video = lambda sd: convert_resnet34(sd, stem=stem)
+        convert_sketch = lambda sd: convert_resnet18(sd, stem=stem)
+    else:
+        convert_video = convert_sketch = convert_hf_vit
 
     for name, ckpt, conv in (
         ("video_backbone", video_ckpt, convert_video),

@@ -150,6 +150,86 @@ def test_flip_consistency(fixture_root):
     assert abs(got_cx - cx) < 0.04
 
 
+def test_flip_rerandomizes_across_visits(fixture_root):
+    """Revisiting the same example must draw fresh flips (the reference's
+    RandomHorizontalFlip re-randomizes on every access); a (seed, idx)-only
+    RNG would freeze the flip for the whole run."""
+    ds = SVOLDataset(
+        root=fixture_root, anno_root=os.path.join(fixture_root, "annos"),
+        phase="train", num_frames=T, max_boxes_per_frame=K, image_size=IMG,
+        hflip_prob=0.5,
+    )
+    frames = [ds[0].video[0] for _ in range(12)]
+    assert any(not np.array_equal(frames[0], f) for f in frames[1:])
+
+
+def test_per_frame_flip_reference_compat(fixture_root):
+    """per_frame_flip=True + flip_boxes=False reproduces the reference
+    exactly: independent flip decision per frame (svol_dataset.py:218-232),
+    boxes untouched."""
+    common = dict(
+        root=fixture_root, anno_root=os.path.join(fixture_root, "annos"),
+        phase="train", num_frames=T, max_boxes_per_frame=K, image_size=IMG,
+    )
+    # NB: same seed for both datasets — the seed also shuffles the pair list,
+    # so differing seeds would compare different (video, sketch) items
+    base = SVOLDataset(hflip_prob=0.0, seed=1, **common)[0]
+    ds = SVOLDataset(hflip_prob=0.5, per_frame_flip=True, flip_boxes=False,
+                     seed=1, **common)
+    ex = ds[0]
+    flipped = unflipped = 0
+    for t in range(T):
+        if np.array_equal(ex.video[t], base.video[t]):
+            unflipped += 1
+        elif np.array_equal(ex.video[t], base.video[t][:, ::-1, :]):
+            flipped += 1
+    assert flipped + unflipped == T  # every frame is one or the other
+    assert flipped > 0 and unflipped > 0  # per-frame independence
+    np.testing.assert_array_equal(ex.boxes, base.boxes)  # boxes never flipped
+
+
+def test_threaded_loader_abandoned_consumer(fixture_root):
+    """Abandoning the generator early (debug mode) must unwind the producer
+    thread instead of leaving it blocked on a full queue."""
+    import threading
+    import time
+
+    ds = SVOLDataset(
+        root=fixture_root, anno_root=os.path.join(fixture_root, "annos"),
+        phase="val", num_frames=T, max_boxes_per_frame=K, image_size=IMG,
+    )
+    before = threading.active_count()
+    for _ in range(3):
+        gen = threaded_batches(ds, batch_size=2, prefetch=1, num_workers=2)
+        next(gen)
+        gen.close()  # consumer walks away after one batch
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_frame_probe_matches_reference_sampling(tmp_path):
+    """frame_probe uniform sampling reproduces preprocess/frame_dataset.py:16-19."""
+    import cv2
+
+    from svol_tpu.preprocess.frame_probe import list_frames, load_frames
+
+    d = tmp_path / "clip"
+    d.mkdir()
+    for i in range(10):
+        cv2.imwrite(str(d / f"{i:06d}.JPEG"), np.full((8, 8, 3), i, np.uint8))
+    files = [d / f"{i:06d}.JPEG" for i in range(10)]
+    n = 4
+    stride = len(files) / n
+    expected = [files[round(i * stride)] for i in range(n)]
+    assert list_frames(str(d), n) == expected
+    arr = load_frames(str(d), n, size=6)
+    assert arr.shape == (4, 6, 6, 3) and arr.dtype == np.uint8
+    # fewer files than requested: keep all (frame_dataset.py:17 guard)
+    assert len(list_frames(str(d), 64)) == 10
+
+
 def test_threaded_loader(fixture_root):
     cfg = make_cfg(fixture_root)
     loader = build_loader(cfg, "val", backend="threads")
@@ -157,13 +237,41 @@ def test_threaded_loader(fixture_root):
     assert batch["src_video"].shape == (4, T, IMG, IMG, 3)
     assert extra["targets"]["boxes"].shape == (4, T, K, 4)
     assert len(extra["meta"]) == 4
-    # full epoch, deterministic order
-    n = sum(b["src_video"].shape[0] for b, _ in build_loader(cfg, "val", backend="threads"))
+    # full epoch, deterministic order; meta counts the real examples even if
+    # the tail batch was shape-padded
+    n = sum(len(e["meta"]) for _, e in build_loader(cfg, "val", backend="threads"))
     ds = SVOLDataset(
         root=fixture_root, anno_root=os.path.join(fixture_root, "annos"),
         phase="val", num_frames=T, max_boxes_per_frame=K, image_size=IMG,
     )
     assert n == len(ds)
+
+
+def test_eval_loader_single_batch_shape(fixture_root):
+    """Eval batches keep ONE array shape regardless of dataset size — the
+    tail batch is padded by replicating its last example (meta drops it), so
+    the eval executable compiles once (reference protocol: test.sh eval_bs=1
+    never hits this; larger eval_bs must not recompile)."""
+    ds = SVOLDataset(
+        root=fixture_root, anno_root=os.path.join(fixture_root, "annos"),
+        phase="val", num_frames=T, max_boxes_per_frame=K, image_size=IMG,
+    )
+    bs = 3
+    assert len(ds) % bs != 0, "fixture must exercise a ragged tail"
+    shapes, metas = set(), 0
+    last = None
+    for batch, extra in threaded_batches(ds, bs, pad_to_batch=True):
+        shapes.add(batch["src_video"].shape)
+        metas += len(extra["meta"])
+        last = (batch, extra)
+    assert shapes == {(bs, T, IMG, IMG, 3)}
+    assert metas == len(ds)
+    # padding replicates the final real example
+    tail_real = len(last[1]["meta"])
+    assert last[1]["n_real"] == tail_real < bs
+    np.testing.assert_array_equal(
+        last[0]["src_video"][tail_real], last[0]["src_video"][tail_real - 1]
+    )
 
 
 def test_threaded_loader_sharding(fixture_root):

@@ -32,7 +32,12 @@ sys.path.insert(0, "/root/reference")
 # torchvision isn't installed in this image; the reference's box_utils only
 # uses torchvision.ops.boxes.box_area (box_utils.py:6,28-29) — shim it so the
 # reference matcher/loss import. Math identical to torchvision's one-liner.
-if "torchvision" not in sys.modules:
+# The shim is REMOVED from sys.modules right after the import (the reference
+# binds box_area by value): a lingering spec-less fake torchvision breaks
+# transformers' importlib.util.find_spec probe in unrelated tests.
+_shim_names = ("torchvision", "torchvision.ops", "torchvision.ops.boxes")
+_shimmed = "torchvision" not in sys.modules
+if _shimmed:
     import types
 
     def _box_area(boxes):
@@ -55,6 +60,10 @@ try:
     HAS_REF = True
 except Exception:  # pragma: no cover
     HAS_REF = False
+finally:
+    if _shimmed:
+        for _n in _shim_names:
+            sys.modules.pop(_n, None)
 
 from svol_tpu.models.svanet import SVANet
 from svol_tpu.utils.torch_port import convert_svanet

@@ -172,6 +172,29 @@ def test_criterion_with_aux_outputs(rng):
     np.testing.assert_allclose(float(losses["loss_overall"]), manual, rtol=1e-5)
 
 
+def test_merged_matcher_identical_losses(rng):
+    """--merged_matcher (one stacked LSAP for final+aux) must reproduce the
+    per-layer matching path's loss dict exactly — same assignments, one
+    solver call (PERFORMANCE.md merged-solve experiment, now behind a flag)."""
+    logits, pred, boxes, valid = random_problem(rng)
+    a_logits = rng.normal(size=(2, B, Q, 2)).astype(np.float32)
+    a_pred = rng.uniform(0.2, 0.6, size=(2, B, Q, 4)).astype(np.float32)
+    out = {
+        "pred_logits": logits, "pred_boxes": pred,
+        "aux_logits": a_logits, "aux_boxes": a_pred,
+    }
+    tgt = {"boxes": boxes, "box_valid": valid}
+
+    base = make_criterion()
+    merged = make_criterion()
+    merged.merged_matcher = True
+    l0 = {k: float(v) for k, v in base(out, tgt).items()}
+    l1 = {k: float(v) for k, v in merged(out, tgt).items()}
+    assert l0.keys() == l1.keys()
+    for k in l0:
+        np.testing.assert_allclose(l1[k], l0[k], rtol=1e-6, err_msg=k)
+
+
 def test_cardinality_and_class_error(rng):
     logits, pred, boxes, valid = random_problem(rng)
     crit = make_criterion()

@@ -5,6 +5,7 @@ import numpy as np
 from svol_tpu.config import DataConfig, ModelConfig, SvolConfig, TrainConfig
 from svol_tpu.models import build_model
 from svol_tpu.train.state import (
+    PlateauTracker,
     create_train_state,
     current_lr,
     make_lr_schedule,
@@ -38,6 +39,39 @@ def test_multisteplr_single_drop():
     np.testing.assert_allclose(float(sched(99)), 1e-3)
     np.testing.assert_allclose(float(sched(100)), 1e-4, rtol=1e-5)
     np.testing.assert_allclose(float(sched(10_000)), 1e-4, rtol=1e-5)
+
+
+def test_plateau_tracker_matches_torch():
+    """Drive PlateauTracker and torch's ReduceLROnPlateau with identical
+    metric traces; the LR-drop steps must coincide exactly (the reference
+    builds it with mode=max, factor=0.1, patience=1, threshold=0.5,
+    threshold_mode=rel — train.py:134-143)."""
+    import torch
+
+    rng = np.random.default_rng(7)
+    for trial in range(50):
+        # short traces keep torch's lr well above its eps=1e-8 update floor,
+        # so every _reduce_lr is observable as a param_group lr change
+        trace = rng.uniform(0.0, 50.0, size=12)
+        param = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([param], lr=1.0)
+        sch = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, mode="max", factor=0.1, patience=1, threshold=0.5,
+            threshold_mode="rel",
+        )
+        tracker = PlateauTracker(factor=0.1, patience=1, threshold=0.5)
+        torch_drops, our_drops = [], []
+        prev_lr = opt.param_groups[0]["lr"]
+        for i, m in enumerate(trace):
+            sch.step(float(m))
+            lr = opt.param_groups[0]["lr"]
+            if lr < prev_lr:
+                torch_drops.append(i)
+            prev_lr = lr
+            if tracker.step(float(m)):
+                our_drops.append(i)
+            assert tracker.best == sch.best, (trial, i)
+        assert torch_drops == our_drops, (trial, trace)
 
 
 def test_reduce_lr_on_plateau_state():

@@ -51,7 +51,8 @@ def run_one_step(plan, cfg, batch):
     state = plan.replicate(state)
     step = make_train_step(cfg, criterion, donate=False)
     db = plan.shard_batch(batch)
-    state, metrics = step(state, db, jax.random.PRNGKey(1))
+    with plan.activate():  # enable in-model seq-parallel constraints
+        state, metrics = step(state, db, jax.random.PRNGKey(1))
     return {k: float(v) for k, v in metrics.items()}
 
 
@@ -71,3 +72,45 @@ def test_seq_parallel_matches_dp(rng):
     m_sp = run_one_step(sp, cfg, batch)
     for k in ("loss_overall", "loss_bbox", "loss_giou", "loss_label"):
         np.testing.assert_allclose(m_dp[k], m_sp[k], rtol=2e-4, atol=2e-5)
+
+
+def test_seq_parallel_long_clip_attention(rng):
+    """T=64 long-clip check: with the in-model shard_video_tokens
+    constraints, the video self-attention itself partitions over 'seq'
+    (sharded queries, gathered keys) — losses must match pure DP, and a
+    4-way seq mesh must execute (it would OOM-scale as L^2 on one device
+    for truly long clips)."""
+    T64 = 64
+    img = 32  # 1 token/frame through the resnet trunk -> L = 64
+    cfg = SvolConfig(
+        data=DataConfig(num_frames=T64, max_boxes_per_frame=K, image_size=img),
+        model=ModelConfig(
+            hidden_dim=32, nheads=4, num_layers=2, num_queries=T64 * K,
+            num_queries_per_frame=K, cmt_dim_feedforward=64,
+            compute_dtype="float32",
+        ),
+    )
+    rng_np = np.random.default_rng(11)
+    B = 2
+    boxes = np.zeros((B, T64, K, 4), np.float32)
+    valid = np.zeros((B, T64, K), bool)
+    boxes[:, :, 0] = [0.5, 0.5, 0.2, 0.2]
+    valid[:, :, 0] = True
+    batch = {
+        "src_sketch": rng_np.uniform(size=(B, 1, img, img, 3)).astype(np.float32),
+        "src_video": rng_np.uniform(size=(B, T64, img, img, 3)).astype(np.float32),
+        "src_sketch_mask": np.ones((B, 1), np.float32),
+        "src_video_mask": np.ones((B, T64), np.float32),
+        "boxes": boxes,
+        "box_valid": valid,
+    }
+    dp = make_mesh_plan(num_devices=2, seq_axis=1)  # 2 x 1
+    sp = make_mesh_plan(num_devices=8, seq_axis=4)  # 2 x 4: frames 4-way
+    db = sp.shard_batch(dict(batch))
+    shard_shapes = {s.data.shape for s in db["src_video"].addressable_shards}
+    assert shard_shapes == {(1, T64 // 4, img, img, 3)}
+
+    m_dp = run_one_step(dp, cfg, batch)
+    m_sp = run_one_step(sp, cfg, batch)
+    for k in ("loss_overall", "loss_bbox", "loss_giou", "loss_label"):
+        np.testing.assert_allclose(m_dp[k], m_sp[k], rtol=5e-4, atol=5e-5)

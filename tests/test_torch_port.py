@@ -129,7 +129,12 @@ def test_hf_vit_port_numeric_parity(rng):
     )
     hf = transformers.ViTModel(cfg, add_pooling_layer=False).eval()
     sd = {k: v.numpy() for k, v in hf.state_dict().items()}
-    converted = convert_hf_vit(sd, num_layers=2)
+    converted = convert_hf_vit(sd, num_layers=2, image_size=32)
+
+    # grafting embeddings sized for a different image_size must fail eagerly
+    # with a readable message, not later as an opaque shape error
+    with pytest.raises(ValueError, match="position_embeddings"):
+        convert_hf_vit(sd, num_layers=2, image_size=224)
 
     ours = ViT(hidden_size=32, num_layers=2, num_heads=4, mlp_dim=64,
                patch_size=16, image_size=32, name=None)
