@@ -15,9 +15,12 @@ Run under `timeout 600 ...`; a hang or nonzero exit marks the trigger.
 """
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _setup(merged: bool):
@@ -36,18 +39,20 @@ def _setup(merged: bool):
     return cfg, model, criterion, batch
 
 
-def stage_solve() -> None:
-    """The wide vmapped LSAP alone, at merged-train-step width."""
+def stage_solve(width: int = 1024) -> None:
+    """The wide vmapped LSAP alone. width = number of stacked 10x10 problems
+    (merged flagship train step = 2 layers x bs16 x T32 = 1024; the unmerged
+    production path runs 512-wide solves)."""
     import jax
     import jax.numpy as jnp
 
     from svol_tpu.ops.hungarian import hungarian
 
-    L, B, T, K = 2, 16, 32, 10
+    K = 10
     rng = np.random.default_rng(0)
-    C = jnp.asarray(rng.uniform(size=(L, B, T, K, K)), jnp.float32)
+    C = jnp.asarray(rng.uniform(size=(width, K, K)), jnp.float32)
     out = jax.jit(hungarian)(C)
-    print("solve ok:", np.asarray(out).shape, int(np.asarray(out).sum()))
+    print(f"solve width={width} ok:", int(np.asarray(out).sum()))
 
 
 def stage_fwd(merged: bool) -> None:
@@ -93,8 +98,10 @@ def stage_train(merged: bool) -> None:
 
 def main() -> None:
     stage = sys.argv[1] if len(sys.argv) > 1 else "solve"
+    if stage == "solve":
+        stage_solve(int(sys.argv[2]) if len(sys.argv) > 2 else 1024)
+        return
     {
-        "solve": stage_solve,
         "fwd_merged": lambda: stage_fwd(True),
         "fwd_unmerged": lambda: stage_fwd(False),
         "train_merged": lambda: stage_train(True),

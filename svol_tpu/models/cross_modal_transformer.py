@@ -44,6 +44,7 @@ class CrossModalTransformerLayer(nn.Module):
     activation: str = "gelu"
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -75,7 +76,7 @@ class CrossModalTransformerLayer(nn.Module):
         qk = mem + vid_pos
         attn_out, att2 = MultiheadAttention(
             d_model=self.d_model, num_heads=self.nhead, dtype=self.dtype,
-            name="content_self_attn",
+            use_flash=self.use_flash, name="content_self_attn",
         )(qk, qk, mem, deterministic=deterministic, need_weights=need_weights)
         mem = ln("norm2")(attn_out + mem)
         mem = shard_video_tokens(ln("norm3")(
@@ -90,7 +91,7 @@ class CrossModalTransformerLayer(nn.Module):
         qk = out + query_pos
         attn_out, att3 = MultiheadAttention(
             d_model=self.d_model, num_heads=self.nhead, dtype=self.dtype,
-            name="token_self_attn",
+            use_flash=self.use_flash, name="token_self_attn",
         )(qk, qk, out, deterministic=deterministic, need_weights=need_weights)
         out = ln("norm4")(attn_out + out)
 
@@ -128,6 +129,7 @@ class CrossModalTransformer(nn.Module):
     activation: str = "gelu"
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -156,6 +158,7 @@ class CrossModalTransformer(nn.Module):
                 activation=self.activation,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
+                use_flash=self.use_flash,
                 name=f"layer{i}",
             )(mem, src_skch, out, vid_pad_mask, vid_pos, query_pos,
               deterministic=deterministic, need_weights=need_weights)

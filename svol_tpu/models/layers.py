@@ -41,6 +41,7 @@ class MultiheadAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
+    use_flash: bool = False  # fused VMEM-softmax kernel on the unmasked path
 
     @nn.compact
     def __call__(
@@ -71,6 +72,22 @@ class MultiheadAttention(nn.Module):
         q = q.reshape(B, Lq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
         k = k.reshape(B, Lk, self.num_heads, head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(B, Lk, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        if (
+            self.use_flash
+            and not need_weights
+            and key_padding_mask is None
+            and (self.dropout == 0.0 or deterministic)
+        ):
+            # fused path: (Lq, Lk) logits stay in VMEM with an exact f32
+            # softmax — never written to HBM (ops/pallas/flash_attention.py).
+            # More precise than the bf16 fast path below AND faster: the
+            # materialized weights dominate these blocks' HBM traffic.
+            from svol_tpu.ops.pallas.flash_attention import flash_self_attention
+
+            out = flash_self_attention(q, k, v, head_dim**-0.5)
+            out = out.transpose(0, 2, 1, 3).reshape(B, Lq, self.d_model)
+            return dense("out_proj")(out), None
 
         bf16_fast_path = (
             not need_weights

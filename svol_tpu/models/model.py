@@ -54,6 +54,7 @@ class SketchLocalizationModel(nn.Module):
                 max_sketch_positions=cfg.data.num_input_sketches,
                 dtype=dtype,
                 use_pallas=cfg.model.use_pallas_attention,
+                use_flash=cfg.model.use_flash_attention,
                 name="head",
             )
         elif cfg.model.sketch_head == "sketch_detr":

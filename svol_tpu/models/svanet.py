@@ -46,6 +46,7 @@ class SVANet(nn.Module):
     max_sketch_positions: int = 1
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -95,6 +96,7 @@ class SVANet(nn.Module):
             dim_feedforward=self.dim_feedforward,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            use_flash=self.use_flash,
             name="transformer",
         )(vid, skch, ~vid_valid, vid_pos, query_embed,
           deterministic=deterministic, need_weights=return_attention)

@@ -1,0 +1,133 @@
+"""Flash-style self-attention Pallas kernel for SVOL's attention shapes.
+
+The cross-modal layer's video self-attention (L = T*49 = 1568 tokens,
+8 heads x 32 dims — cross_modal_transformer.py:137-143) is bandwidth-bound in
+the XLA formulation: the (B, H, L, L) logits/weights tensors round-trip HBM
+(~315 MB per call at bs=8 bf16), costing ~3.7 ms of the ~18 ms inference
+step. The built-in Pallas flash kernel measured *slower* here (tuned for
+head_dim >= 128; PERFORMANCE.md round 1), so this kernel is shaped for
+SVOL: one (batch*head, q-block) grid step holds a full (BQ, L) logits tile
+in VMEM — L is small enough that no online-softmax streaming over key blocks
+is needed — computes the exact f32 softmax, and writes only the (BQ, d)
+output. Logits never touch HBM; traffic drops to q/k/v reads + out write.
+
+No masking: faithful to the reference's video/query self-attention, which
+passes no key-padding mask (cross_modal_transformer.py:137-149). The masked
+token->content cross-attention keeps the XLA path.
+
+Differentiation: forward runs the kernel; backward rematerializes the XLA
+reference formulation via custom_vjp (same pattern as gated_attention.py).
+
+VMEM per grid step (BQ=224, L=1568): logits f32 1.4 MB + k/v bf16
+(lane-padded to 128) 0.8 MB + q/out small ~= 2.5 MB.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+
+try:  # TPU-only module; CPU tests run the kernel in interpret mode
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+
+def attention_reference(q: Array, k: Array, v: Array, scale: float) -> Array:
+    """Pure-XLA formulation ((BH, Lq, d) x (BH, Lk, d)); the backward pass."""
+    logits = jnp.einsum(
+        "bqd,bkd->bqk", q * scale, k, preferred_element_type=jnp.float32
+    )
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.einsum(
+        "bqk,bkd->bqd", w.astype(q.dtype), v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0]  # (BQ, d)
+    k = k_ref[0]  # (L, d)
+    logits = jax.lax.dot_general(
+        q * jnp.asarray(scale, q.dtype), k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, L) f32, VMEM-resident
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    w = e / jnp.sum(e, axis=-1, keepdims=True)
+    o_ref[0] = jnp.dot(
+        w.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _block_q(lq: int) -> int:
+    # largest block <= 256 that divides Lq and is a multiple of the bf16
+    # sublane tile (16); fall back to 128 + padded tail blocks
+    for bq in (256, 224, 192, 160, 128, 112, 96, 80, 64, 48, 32, 16):
+        if lq % bq == 0:
+            return bq
+    return 128
+
+
+def _pallas_forward(q: Array, k: Array, v: Array, scale: float,
+                    interpret: bool) -> Array:
+    BH, Lq, d = q.shape
+    Lk = k.shape[1]
+    bq = _block_q(Lq)
+    grid = (BH, pl.cdiv(Lq, bq))
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        )
+    return pl.pallas_call(
+        functools.partial(_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, Lk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, Lk, d), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, Lq, d), q.dtype),
+        interpret=interpret,
+        **kwargs,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention(q: Array, k: Array, v: Array, scale: float,
+                    interpret: bool = False) -> Array:
+    """Unmasked attention, (BH, Lq, d) layout. Exact f32 softmax in VMEM."""
+    return _pallas_forward(q, k, v, scale, interpret)
+
+
+def _fwd(q, k, v, scale, interpret):
+    return _pallas_forward(q, k, v, scale, interpret), (q, k, v)
+
+
+def _bwd(scale, interpret, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(lambda a, b, c: attention_reference(a, b, c, scale),
+                     q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fwd, _bwd)
+
+
+def flash_self_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
+    """Public entry: (B, H, L, d) in/out; fused on TPU, interpret elsewhere."""
+    B, H, Lq, d = q.shape
+    Lk = k.shape[2]
+    interpret = jax.default_backend() != "tpu"
+    out = flash_attention(
+        q.reshape(B * H, Lq, d), k.reshape(B * H, Lk, d),
+        v.reshape(B * H, Lk, d), scale, interpret,
+    )
+    return out.reshape(B, H, Lq, d)

@@ -290,6 +290,21 @@ def test_threaded_loader_sharding(fixture_root):
     assert len(seen) == len(set(seen))
 
 
+def test_device_prefetch_order_and_placement():
+    """device_prefetch keeps batches in order, places them on device ahead of
+    consumption, and drains short iterators cleanly."""
+    import jax
+
+    from svol_tpu.data.pipeline import device_prefetch
+
+    data = [{"x": np.full((2, 2), i, np.float32)} for i in range(5)]
+    out = list(device_prefetch(iter(data), jax.device_put, size=2))
+    assert [int(np.asarray(o["x"])[0, 0]) for o in out] == list(range(5))
+    assert all(isinstance(o["x"], jax.Array) for o in out)
+    assert len(list(device_prefetch(iter(data[:1]), jax.device_put, size=3))) == 1
+    assert list(device_prefetch(iter([]), jax.device_put, size=2)) == []
+
+
 def test_grain_train_loader(fixture_root):
     cfg = make_cfg(fixture_root)
     it = build_loader(cfg, "train", backend="grain")
