@@ -177,8 +177,10 @@ def eval_setup(config: SvolConfig, sample_batch=None):
 def main(argv=None) -> None:
     # multi-host bootstrap before any device use (test.py:215-218 equivalent)
     from svol_tpu.parallel.distributed import initialize_multihost
+    from svol_tpu.utils.compile_cache import enable_compile_cache
 
     initialize_multihost()
+    enable_compile_cache()
     config = config_from_args(argv)
     logger = setup_logger("SVOL_eval", config.train.log_dir,
                           filename=cur_time() + "_eval.txt")

@@ -222,8 +222,10 @@ def main(argv=None) -> None:
     # multi-host bootstrap before any device use (the torch.distributed
     # init_process_group equivalent, train.py:362-366); no-op on one host
     from svol_tpu.parallel.distributed import initialize_multihost
+    from svol_tpu.utils.compile_cache import enable_compile_cache
 
     initialize_multihost()
+    enable_compile_cache()
     config = config_from_args(argv)
     logger = setup_logger(
         "SVOL", config.train.log_dir,

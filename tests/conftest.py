@@ -18,9 +18,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: repeat test runs skip XLA recompilation.
-os.makedirs("/tmp/svol_xla_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/svol_xla_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Host-fingerprinted — XLA:CPU AOT entries from a different VM/CPU would
+# SIGILL/abort if loaded (svol_tpu/utils/compile_cache.py).
+from svol_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 import numpy as np
 import pytest
