@@ -91,6 +91,11 @@ class ModelConfig:
     # AND more precise than the bf16-softmax XLA path (PERFORMANCE.md);
     # disable with --no_flash_attention
     use_flash_attention: bool = True
+    # int8 serving path: backbone convs run on the MXU's 2x-rate int8 units
+    # (dynamic per-tensor activation scales, per-channel weight scales —
+    # ops/quant.py). Inference-only: train=True silently keeps float convs.
+    # None | 'int8'
+    quantize: Optional[str] = None
     # TPU stem: 'space_to_depth' is the mathematically-equivalent MXU-friendly
     # rearrangement of the 7x7/s2 entry conv (models/resnet.py); checkpoints
     # convert losslessly between the two (utils/torch_port.py)
@@ -184,6 +189,12 @@ class SvolConfig:
             raise ValueError(f"unknown sketch_head {m.sketch_head!r}")
         if m.backbone not in ("resnet", "vit"):
             raise ValueError(f"unknown backbone {m.backbone!r}")
+        if m.quantize in ("", "none", "None"):
+            m.quantize = None
+        if m.quantize not in (None, "int8"):
+            raise ValueError(f"unknown quantize mode {m.quantize!r}")
+        if m.quantize and m.backbone != "resnet":
+            raise ValueError("--quantize supports ResNet backbones only")
         if d.max_boxes_per_frame != m.num_queries_per_frame:
             raise ValueError(
                 "max_boxes_per_frame must equal num_queries_per_frame "
@@ -265,6 +276,7 @@ _FLAG_MAP = {
     "dec_layers": ("model", "dec_layers"),
     "use_pallas_attention": ("model", "use_pallas_attention"),
     "use_flash_attention": ("model", "use_flash_attention"),
+    "quantize": ("model", "quantize"),
     "resnet_stem": ("model", "resnet_stem"),
     "compute_dtype": ("model", "compute_dtype"),
     "matcher": ("loss", "matcher"),
@@ -330,7 +342,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
         default = getattr(getattr(defaults, section), fname)
         if flag in _BOOL_STORE_TRUE:
             p.add_argument(f"--{flag}", action="store_true", default=default)
-        elif flag in ("resume", "start_iter"):
+        elif flag in ("resume", "start_iter", "quantize"):
             typ = int if flag == "start_iter" else str
             p.add_argument(f"--{flag}", type=typ, default=default)
         else:

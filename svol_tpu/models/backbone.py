@@ -32,6 +32,7 @@ class ResNetBackbone(nn.Module):
     sketch_arch: str = "resnet18"
     dtype: Optional[jnp.dtype] = None
     stem: str = "conv7"  # or 'space_to_depth' (models/resnet.py)
+    quantize: Optional[str] = None  # int8 inference convs (ops/quant.py)
 
     @nn.compact
     def __call__(
@@ -43,9 +44,11 @@ class ResNetBackbone(nn.Module):
         make = {"resnet18": resnet18, "resnet34": resnet34, "resnet50": resnet50}
 
         skch_net = make[self.sketch_arch](include_pool=True, dtype=self.dtype,
-                                          stem=self.stem, name="sketch_backbone")
+                                          stem=self.stem, quantize=self.quantize,
+                                          name="sketch_backbone")
         vid_net = make[self.video_arch](include_pool=False, dtype=self.dtype,
-                                        stem=self.stem, name="video_backbone")
+                                        stem=self.stem, quantize=self.quantize,
+                                        name="video_backbone")
 
         B, T = video.shape[0], video.shape[1]
         src_sketch = skch_net(sketch[:, 0], train=train)[:, None, :]  # (B, 1, C)
@@ -114,9 +117,13 @@ def tokens_per_frame(backbone: str, image_size: int = 224) -> int:
     raise NotImplementedError(backbone)
 
 
-def build_backbone(backbone: str, dtype=None, resnet_stem: str = "conv7") -> nn.Module:
+def build_backbone(backbone: str, dtype=None, resnet_stem: str = "conv7",
+                   quantize=None) -> nn.Module:
     if "vit" in backbone:
+        if quantize:
+            raise NotImplementedError("--quantize supports ResNet backbones only")
         return ViTBackbone(dtype=dtype, name="backbone")
     if "resnet" in backbone:
-        return ResNetBackbone(dtype=dtype, stem=resnet_stem, name="backbone")
+        return ResNetBackbone(dtype=dtype, stem=resnet_stem, quantize=quantize,
+                              name="backbone")
     raise NotImplementedError(backbone)

@@ -29,7 +29,8 @@ class SketchLocalizationModel(nn.Module):
         dtype = jnp.dtype(cfg.model.compute_dtype) if cfg.model.compute_dtype else None
         self.dtype = dtype
         self.backbone = build_backbone(
-            cfg.model.backbone, dtype=dtype, resnet_stem=cfg.model.resnet_stem
+            cfg.model.backbone, dtype=dtype, resnet_stem=cfg.model.resnet_stem,
+            quantize=cfg.model.quantize,
         )
         vid_dim, skch_dim = backbone_feature_dims(cfg.model.backbone)
         self.tokens_per_frame = tokens_per_frame(cfg.model.backbone, cfg.data.image_size)

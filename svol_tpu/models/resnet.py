@@ -24,15 +24,60 @@ TPU notes:
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax.numpy as jnp
-from jax import Array
+from jax import Array, lax
 
 # torch BatchNorm defaults
 BN_EPS = 1e-5
 BN_MOMENTUM = 0.9  # flax momentum = 1 - torch momentum (0.1)
+
+
+class QuantizableConv(nn.Module):
+    """Bias-free NHWC conv, param-compatible with ``nn.Conv`` (same "kernel"
+    name, HWIO shape, lecun-normal init) so checkpoints and the torchvision
+    port (utils/torch_port.py) are oblivious to it.
+
+    ``quantize=None`` reproduces nn.Conv's computation exactly (same dtype
+    promotion + lax.conv_general_dilated call). ``quantize='int8'`` runs the
+    int8 MXU path (ops/quant.py): dynamic per-tensor activation scale,
+    per-output-channel weight scales, int32 accumulation — inference-only.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Union[int, Tuple[Tuple[int, int], Tuple[int, int]]] = 0
+    dtype: Optional[jnp.dtype] = None
+    quantize: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features), jnp.float32,
+        )
+        if self.quantize == "int8":
+            from svol_tpu.ops.quant import int8_conv
+
+            return int8_conv(x, kernel, self.strides, self.padding,
+                             out_dtype=self.dtype or x.dtype)
+        if self.quantize is not None:
+            raise NotImplementedError(f"quantize={self.quantize!r}")
+
+        x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        dn = lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        return lax.conv_general_dilated(
+            x, kernel, window_strides=self.strides, padding=pad,
+            dimension_numbers=dn,
+        )
 
 
 def space_to_depth(x: Array, block: int = 2) -> Array:
@@ -67,10 +112,12 @@ class BasicBlock(nn.Module):
     filters: int
     stride: int = 1
     dtype: Optional[jnp.dtype] = None
+    quantize: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        conv = partial(QuantizableConv, dtype=self.dtype,
+                       quantize=None if train else self.quantize)
         bn = partial(
             nn.BatchNorm, use_running_average=not train, momentum=BN_MOMENTUM,
             epsilon=BN_EPS, dtype=self.dtype,
@@ -95,10 +142,12 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dtype: Optional[jnp.dtype] = None
     expansion: int = 4
+    quantize: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        conv = partial(QuantizableConv, dtype=self.dtype,
+                       quantize=None if train else self.quantize)
         bn = partial(
             nn.BatchNorm, use_running_average=not train, momentum=BN_MOMENTUM,
             epsilon=BN_EPS, dtype=self.dtype,
@@ -129,17 +178,19 @@ class ResNet(nn.Module):
     include_pool: bool = False
     dtype: Optional[jnp.dtype] = None
     stem: str = "conv7"  # conv7 (torch layout) | space_to_depth (equivalent)
+    quantize: Optional[str] = None  # int8 inference path (ops/quant.py)
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         # x: (N, H, W, 3)
+        q = None if train else self.quantize
         if self.stem == "space_to_depth":
-            y = nn.Conv(64, (4, 4), strides=(1, 1),
-                        padding=((2, 1), (2, 1)), use_bias=False,
-                        dtype=self.dtype, name="conv1_s2d")(space_to_depth(x))
+            y = QuantizableConv(64, (4, 4), strides=(1, 1),
+                                padding=((2, 1), (2, 1)), dtype=self.dtype,
+                                quantize=q, name="conv1_s2d")(space_to_depth(x))
         elif self.stem == "conv7":
-            y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                        dtype=self.dtype, name="conv1")(x)
+            y = QuantizableConv(64, (7, 7), strides=(2, 2), padding=3,
+                                dtype=self.dtype, quantize=q, name="conv1")(x)
         else:
             raise ValueError(f"unknown stem {self.stem!r}")
         y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
@@ -153,6 +204,7 @@ class ResNet(nn.Module):
             for b in range(n_blocks):
                 stride = 2 if stage > 0 and b == 0 else 1
                 y = self.block(filters=filters, stride=stride, dtype=self.dtype,
+                               quantize=self.quantize,
                                name=f"layer{stage + 1}_{b}")(y, train=train)
 
         if self.include_pool:
@@ -161,18 +213,21 @@ class ResNet(nn.Module):
 
 
 def resnet18(include_pool: bool = False, dtype=None, name: str = "resnet18",
-             stem: str = "conv7") -> ResNet:
+             stem: str = "conv7", quantize: Optional[str] = None) -> ResNet:
     return ResNet(stage_sizes=(2, 2, 2, 2), block=BasicBlock,
-                  include_pool=include_pool, dtype=dtype, stem=stem, name=name)
+                  include_pool=include_pool, dtype=dtype, stem=stem,
+                  quantize=quantize, name=name)
 
 
 def resnet34(include_pool: bool = False, dtype=None, name: str = "resnet34",
-             stem: str = "conv7") -> ResNet:
+             stem: str = "conv7", quantize: Optional[str] = None) -> ResNet:
     return ResNet(stage_sizes=(3, 4, 6, 3), block=BasicBlock,
-                  include_pool=include_pool, dtype=dtype, stem=stem, name=name)
+                  include_pool=include_pool, dtype=dtype, stem=stem,
+                  quantize=quantize, name=name)
 
 
 def resnet50(include_pool: bool = False, dtype=None, name: str = "resnet50",
-             stem: str = "conv7") -> ResNet:
+             stem: str = "conv7", quantize: Optional[str] = None) -> ResNet:
     return ResNet(stage_sizes=(3, 4, 6, 3), block=Bottleneck,
-                  include_pool=include_pool, dtype=dtype, stem=stem, name=name)
+                  include_pool=include_pool, dtype=dtype, stem=stem,
+                  quantize=quantize, name=name)

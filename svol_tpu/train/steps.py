@@ -23,6 +23,14 @@ from svol_tpu.ops.boxes import box_cxcywh_to_xyxy
 from svol_tpu.train.state import TrainState
 
 
+# NB: XLA:CPU's collective rendezvous timeouts (which LOG(FATAL) the process
+# when exceeded — a real hazard on 1-core virtual-device meshes) are statics
+# read from XLA_FLAGS at first use; per-executable compiler_options do NOT
+# reach them. They are raised in svol_tpu/utils/cpu_mesh.py, which every
+# virtual-mesh entry (tests/conftest.py, __graft_entry__.dryrun_multichip)
+# calls before backend init.
+
+
 def make_train_step(
     config: SvolConfig, criterion: SetCriterion, donate: bool = True
 ) -> Callable:

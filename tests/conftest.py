@@ -8,11 +8,11 @@ image's sitecustomize registers in every interpreter.
 """
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+from svol_tpu.utils.cpu_mesh import set_virtual_cpu_mesh_flags
+
+# 8 virtual devices + raised CPU-collective rendezvous timeouts (the default
+# terminate timeout SIGABRTs under 1-core scheduling skew — see cpu_mesh.py)
+set_virtual_cpu_mesh_flags(n_devices=8)
 
 import jax
 
