@@ -39,8 +39,14 @@ def chained_steps(predict, variables, batch, n_iters: int):
     def run(variables, batch):
         def body(_, carry):
             b = dict(batch)
-            # data dependency: negligible perturbation keeps steps sequential
-            b["src_video"] = batch["src_video"] + carry * 1e-12
+            # data dependency ON THE PIXELS keeps every step's full compute
+            # (incl. the conv trunk) inside the loop — perturbing anything
+            # the trunk doesn't read lets XLA hoist the trunk out as
+            # loop-invariant (measured: a bogus 3x). The epsilon is cast to
+            # the video dtype: a negligible float for f32 input, a
+            # runtime-zero (unfoldable) integer for the uint8 transport.
+            eps = (carry * 1e-12).astype(batch["src_video"].dtype)
+            b["src_video"] = batch["src_video"] + eps
             scores, boxes = predict(variables, b)
             return scores.mean() + boxes.mean()
 
@@ -107,6 +113,9 @@ def main(argv=None) -> None:
                          "the timed loop (end-to-end companion number)")
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--quantize", default=None, choices=["int8"],
+                    help="measure the int8 serving path (ops/quant.py) "
+                         "instead of the default exact bf16 path")
     args = ap.parse_args(argv)
 
     _enable_compile_cache()
@@ -114,6 +123,7 @@ def main(argv=None) -> None:
     from svol_tpu.train.steps import make_predict_fn
 
     cfg = _flagship_config()
+    cfg.model.quantize = args.quantize
     batch_size = args.batch_size
     n_iters = args.iters
     model = build_model(cfg)
@@ -127,7 +137,10 @@ def main(argv=None) -> None:
         fps = with_input_fps(predict, variables, cfg, batch_size, n_iters)
         metric = "inference_throughput_e2e_input"
     else:
-        batch = jax.device_put(_sample_batch(cfg, batch_size=batch_size), device)
+        # uint8 pixels = the production transport (data pipeline ships uint8,
+        # model normalizes on device) — and ~4x less HBM read than f32
+        batch = jax.device_put(
+            _sample_batch(cfg, batch_size=batch_size, uint8_pixels=True), device)
         run = chained_steps(predict, variables, batch, n_iters)
         float(run(variables, batch))  # warmup / compile (fetch forces completion)
         best_dt = float("inf")

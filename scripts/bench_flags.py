@@ -33,7 +33,7 @@ def measure(overrides: dict, batch_size: int = 8, n_iters: int = 20) -> float:
         assert hasattr(cfg.model, k), k
         setattr(cfg.model, k, v)
     model = build_model(cfg)
-    batch = _sample_batch(cfg, batch_size=batch_size)
+    batch = _sample_batch(cfg, batch_size=batch_size, uint8_pixels=True)
     variables = init_variables(model, cfg)
     predict = make_predict_fn(model.apply)
 
