@@ -75,6 +75,7 @@ class SketchLocalizationModel(nn.Module):
                 pre_norm=cfg.model.pre_norm,
                 aux_loss=cfg.model.aux_loss,
                 dtype=dtype,
+                use_flash=cfg.model.use_flash_attention,
                 name="head",
             )
         elif cfg.model.sketch_head == "svanet_variant":
@@ -96,6 +97,7 @@ class SketchLocalizationModel(nn.Module):
                 pre_norm=cfg.model.pre_norm,
                 aux_loss=cfg.model.aux_loss,
                 dtype=dtype,
+                use_flash=cfg.model.use_flash_attention,
                 name="head",
             )
         else:

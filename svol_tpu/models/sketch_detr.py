@@ -44,6 +44,7 @@ class SketchDETR(nn.Module):
     num_classes: int = 2
     video_position_embedding: str = "sine"
     dtype: Optional[jnp.dtype] = None
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -94,7 +95,8 @@ class SketchDETR(nn.Module):
             d_model=self.hidden_dim, nhead=self.nheads,
             num_encoder_layers=self.enc_layers, num_decoder_layers=self.dec_layers,
             dim_feedforward=self.dim_feedforward, dropout=self.dropout,
-            normalize_before=self.pre_norm, dtype=self.dtype, name="transformer",
+            normalize_before=self.pre_norm, dtype=self.dtype,
+            use_flash=self.use_flash, name="transformer",
         )(src, ~frame_mask, queries, pos, deterministic=deterministic)
         # hs: (layers, B*T, Qf, d)
 

@@ -45,6 +45,7 @@ class SVANetVariant(nn.Module):
     sketch_position_embedding: str = "sine"
     video_position_embedding: str = "sine"
     dtype: Optional[jnp.dtype] = None
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -117,7 +118,8 @@ class SVANetVariant(nn.Module):
             num_encoder_layers=self.enc_layers,
             num_decoder_layers=self.dec_layers,
             dim_feedforward=self.dim_feedforward, dropout=self.dropout,
-            normalize_before=self.pre_norm, dtype=self.dtype, name="transformer",
+            normalize_before=self.pre_norm, dtype=self.dtype,
+            use_flash=self.use_flash, name="transformer",
         )(src, pad_mask, queries, pos, deterministic=det)
 
         logits = nn.Dense(self.num_classes, dtype=self.dtype, name="class_embed")(hs)

@@ -24,6 +24,7 @@ class TransformerEncoderLayer(nn.Module):
     activation: str = "relu"
     normalize_before: bool = False
     dtype: Optional[jnp.dtype] = None
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, src: Array, pos: Array, key_padding_mask: Optional[Array],
@@ -32,7 +33,7 @@ class TransformerEncoderLayer(nn.Module):
         drop = lambda x: nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)
         attn = MultiheadAttention(
             d_model=self.d_model, num_heads=self.nhead, dropout=self.dropout,
-            dtype=self.dtype, name="self_attn",
+            dtype=self.dtype, use_flash=self.use_flash, name="self_attn",
         )
 
         def ffn(x, name1="linear1", name2="linear2"):
@@ -44,13 +45,13 @@ class TransformerEncoderLayer(nn.Module):
             s2 = ln("norm1")(src)
             qk = s2 + pos
             a, _ = attn(qk, qk, s2, key_padding_mask=key_padding_mask,
-                        deterministic=deterministic)
+                        deterministic=deterministic, need_weights=False)
             src = src + drop(a)
             s2 = ln("norm2")(src)
             return src + drop(ffn(s2))
         qk = src + pos
         a, _ = attn(qk, qk, src, key_padding_mask=key_padding_mask,
-                    deterministic=deterministic)
+                    deterministic=deterministic, need_weights=False)
         src = ln("norm1")(src + drop(a))
         return ln("norm2")(src + drop(ffn(src)))
 
@@ -63,6 +64,7 @@ class TransformerDecoderLayer(nn.Module):
     activation: str = "relu"
     normalize_before: bool = False
     dtype: Optional[jnp.dtype] = None
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, tgt: Array, memory: Array, pos: Array, query_pos: Array,
@@ -72,7 +74,7 @@ class TransformerDecoderLayer(nn.Module):
         drop = lambda x: nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)
         self_attn = MultiheadAttention(
             d_model=self.d_model, num_heads=self.nhead, dropout=self.dropout,
-            dtype=self.dtype, name="self_attn",
+            dtype=self.dtype, use_flash=self.use_flash, name="self_attn",
         )
         cross_attn = MultiheadAttention(
             d_model=self.d_model, num_heads=self.nhead, dropout=self.dropout,
@@ -87,7 +89,8 @@ class TransformerDecoderLayer(nn.Module):
         if self.normalize_before:
             t2 = ln("norm1")(tgt)
             qk = t2 + query_pos
-            a, _ = self_attn(qk, qk, t2, deterministic=deterministic)
+            a, _ = self_attn(qk, qk, t2, deterministic=deterministic,
+                             need_weights=False)
             tgt = tgt + drop(a)
             t2 = ln("norm2")(tgt)
             a, att = cross_attn(t2 + query_pos, memory + pos, memory,
@@ -97,7 +100,8 @@ class TransformerDecoderLayer(nn.Module):
             t2 = ln("norm3")(tgt)
             return tgt + drop(ffn(t2)), att
         qk = tgt + query_pos
-        a, _ = self_attn(qk, qk, tgt, deterministic=deterministic)
+        a, _ = self_attn(qk, qk, tgt, deterministic=deterministic,
+                         need_weights=False)
         tgt = ln("norm1")(tgt + drop(a))
         a, att = cross_attn(tgt + query_pos, memory + pos, memory,
                             key_padding_mask=memory_key_padding_mask,
@@ -119,6 +123,7 @@ class Transformer(nn.Module):
     activation: str = "relu"
     normalize_before: bool = False
     dtype: Optional[jnp.dtype] = None
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -143,7 +148,8 @@ class Transformer(nn.Module):
                 d_model=self.d_model, nhead=self.nhead,
                 dim_feedforward=self.dim_feedforward, dropout=self.dropout,
                 activation=self.activation, normalize_before=self.normalize_before,
-                dtype=self.dtype, name=f"encoder_layer{i}",
+                dtype=self.dtype, use_flash=self.use_flash,
+                name=f"encoder_layer{i}",
             )(memory, pos, pad_mask, deterministic=deterministic)
         if self.normalize_before:
             memory = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
@@ -158,7 +164,8 @@ class Transformer(nn.Module):
                 d_model=self.d_model, nhead=self.nhead,
                 dim_feedforward=self.dim_feedforward, dropout=self.dropout,
                 activation=self.activation, normalize_before=self.normalize_before,
-                dtype=self.dtype, name=f"decoder_layer{i}",
+                dtype=self.dtype, use_flash=self.use_flash,
+                name=f"decoder_layer{i}",
             )(tgt, memory, pos, query_pos, pad_mask, deterministic=deterministic)
             intermediates.append(decoder_norm(tgt))
             att_weights.append(att)
