@@ -141,3 +141,19 @@ def test_svanet_variants_forward(rng, mode):
     valid[:, :, 0] = True
     losses = crit(out, {"boxes": jnp.asarray(boxes), "box_valid": jnp.asarray(valid)})
     assert np.isfinite(float(losses["loss_overall"]))
+
+
+@pytest.mark.parametrize("head", ["sketch_detr", "svanet_variant"])
+def test_flash_attention_equivalence_in_detr_heads(rng, head):
+    """The DETR-transformer heads take the flash kernel on their unmasked
+    self-attention blocks (--use_flash_attention); at f32 the fused path must
+    reproduce the XLA formulation."""
+    inputs = make_inputs(rng)
+    model_x = build_model(make_cfg(head, use_flash_attention=False))
+    model_f = build_model(make_cfg(head, use_flash_attention=True))
+    variables = model_x.init(jax.random.PRNGKey(0), **inputs)
+    out_x = model_x.apply(variables, **inputs)
+    out_f = model_f.apply(variables, **inputs)
+    for k in ("pred_logits", "pred_boxes"):
+        np.testing.assert_allclose(np.asarray(out_f[k]), np.asarray(out_x[k]),
+                                   atol=2e-5, rtol=2e-5)
