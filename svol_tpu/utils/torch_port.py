@@ -247,6 +247,139 @@ def convert_svanet(
     return {"params": p}
 
 
+# nn.Sequential(*resnet.children()) index -> torchvision submodule name; the
+# reference wraps its backbones this way (lib/modeling/backbone.py:137-141),
+# so a trained SVOL checkpoint stores e.g. backbone.video_backbone.4.0.conv1
+_SEQ_TO_TORCHVISION = {
+    "0": "conv1", "1": "bn1", "4": "layer1", "5": "layer2",
+    "6": "layer3", "7": "layer4",
+}
+
+
+def split_reference_state_dict(state_dict):
+    """A reference-trained full SVOL checkpoint ('model' state dict,
+    train.py:269-276) -> (video_backbone_sd, sketch_backbone_sd, head_sd)
+    with torchvision-style / bare-head key names, ready for
+    convert_resnet34/convert_resnet18/convert_svanet."""
+    sd = load_state_dict(state_dict)
+    vid: Dict[str, np.ndarray] = {}
+    skt: Dict[str, np.ndarray] = {}
+    head: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        for prefix, out in (("backbone.video_backbone.", vid),
+                            ("backbone.sketch_backbone.", skt)):
+            if k.startswith(prefix):
+                idx, _, tail = k[len(prefix):].partition(".")
+                name = _SEQ_TO_TORCHVISION.get(idx)
+                if name is not None:  # relu/maxpool/avgpool carry no params
+                    out[f"{name}.{tail}"] = v
+                break
+        else:
+            if k.startswith("head."):
+                head[k[len("head."):]] = v
+    if not (vid and skt and head):
+        raise ValueError(
+            "not a reference SVOL checkpoint: expected backbone.video_backbone.*, "
+            f"backbone.sketch_backbone.* and head.* keys, got {len(vid)}/"
+            f"{len(skt)}/{len(head)} matches over {len(sd)} keys"
+        )
+    return vid, skt, head
+
+
+def _assert_tree_matches(converted, target, path: str) -> None:
+    """Every converted leaf must exist in the init tree with the same shape
+    (the converse is allowed: init-only leaves keep their fresh values)."""
+    if isinstance(converted, Mapping):
+        for k, v in converted.items():
+            if not isinstance(target, Mapping) or k not in target:
+                raise ValueError(f"ported parameter {path}/{k} not in model tree")
+            _assert_tree_matches(v, target[k], f"{path}/{k}")
+        return
+    cs, ts = np.shape(converted), np.shape(target)
+    if cs != ts:
+        raise ValueError(f"shape mismatch at {path}: ported {cs} vs model {ts}")
+
+
+def convert_reference_model(state_dict, config) -> Dict[str, Any]:
+    """Reference-trained full SVOL checkpoint -> our full-model variables
+    fragment {'params': ..., 'batch_stats': ...} (backbone + svanet head).
+
+    Only the svanet head + resnet backbone combination (every reference
+    recipe, train_quickdraw.sh:28) is portable — that is the only
+    architecture the reference ever checkpoints.
+    """
+    if config.model.sketch_head != "svanet" or config.model.backbone != "resnet":
+        raise NotImplementedError(
+            "reference checkpoints are resnet+svanet (the only trained "
+            f"configuration upstream); config has {config.model.backbone}+"
+            f"{config.model.sketch_head}"
+        )
+    vid, skt, head = split_reference_state_dict(state_dict)
+    stem = config.model.resnet_stem
+    v = convert_resnet34(vid, stem=stem)
+    s = convert_resnet18(skt, stem=stem)
+    h = convert_svanet(head, num_layers=config.model.num_layers,
+                       n_input_proj=config.model.n_input_proj,
+                       d_model=config.model.hidden_dim)
+    return {
+        "params": {
+            "backbone": {"video_backbone": v["params"],
+                         "sketch_backbone": s["params"]},
+            "head": h["params"],
+        },
+        "batch_stats": {
+            "backbone": {"video_backbone": v["batch_stats"],
+                         "sketch_backbone": s["batch_stats"]},
+        },
+    }
+
+
+def build_reference_checkpoint(config, ref_ckpt: str, out_dir: str,
+                               name: str = "reference_port") -> str:
+    """Create a ``--resume``-able checkpoint carrying ALL weights of a
+    reference-trained SVOL checkpoint (backbone + head) — the migration path
+    for users switching from the reference with a trained model in hand.
+    Leaves with no reference counterpart (none for svanet) stay fresh."""
+    import jax
+
+    from svol_tpu.models import build_model
+    from svol_tpu.train.checkpoints import save_checkpoint
+    from svol_tpu.train.state import create_train_state
+
+    model = build_model(config)
+    S = config.data.image_size
+    sample = {
+        "src_sketch": np.zeros((1, 1, S, S, 3), np.float32),
+        "src_video": np.zeros((1, 1, S, S, 3), np.float32),
+        "src_sketch_mask": np.ones((1, 1), np.float32),
+        "src_video_mask": np.ones((1, 1), np.float32),
+    }
+    state = create_train_state(
+        config, model, jax.random.PRNGKey(config.train.seed), sample
+    )
+    import flax
+
+    variables = flax.core.unfreeze(
+        {"params": state.params, "batch_stats": state.batch_stats})
+    ported = convert_reference_model(ref_ckpt, config)
+    _assert_tree_matches(ported["params"], variables["params"], "params")
+    _assert_tree_matches(ported["batch_stats"], variables["batch_stats"],
+                         "batch_stats")
+
+    def merge(dst, src):
+        for k, v in src.items():
+            if isinstance(v, Mapping):
+                merge(dst[k], v)
+            else:
+                dst[k] = v
+
+    merge(variables["params"], ported["params"])
+    merge(variables["batch_stats"], ported["batch_stats"])
+    state = state.replace(params=variables["params"],
+                          batch_stats=variables["batch_stats"])
+    return save_checkpoint(out_dir, name, state, config)
+
+
 def build_pretrained_checkpoint(
     config, video_ckpt: str, sketch_ckpt: str, out_dir: str, name: str = "pretrained_init"
 ) -> str:
@@ -298,24 +431,35 @@ def main(argv=None) -> None:
     from svol_tpu.config import SvolConfig
 
     p = argparse.ArgumentParser(
-        description="torch->flax backbone weight port. Only *backbone* "
-        "checkpoints (torchvision resnet .pth / HF ViTModel) are portable "
-        "this way; a reference-trained full SVOL .ckpt ('model' state dict) "
-        "ports its head via convert_svanet instead (tests/test_full_model_parity.py)."
+        description="torch->flax weight port: either pretrained *backbone* "
+        "checkpoints (torchvision resnet .pth / HF ViTModel) for a fresh "
+        "head, or a full reference-trained SVOL checkpoint "
+        "(--reference_ckpt, 'model' state dict) carrying backbone AND head."
     )
     p.add_argument("--backbone", default="resnet", choices=["resnet", "vit"])
-    p.add_argument("--video_ckpt", required=True)
-    p.add_argument("--sketch_ckpt", required=True)
+    p.add_argument("--video_ckpt", default="")
+    p.add_argument("--sketch_ckpt", default="")
+    p.add_argument("--reference_ckpt", default="",
+                   help="reference-trained full SVOL checkpoint; ports "
+                        "backbone + svanet head (migration path)")
     p.add_argument("--out", default="./save")
-    p.add_argument("--name", default="pretrained_init")
+    p.add_argument("--name", default="")
     args = p.parse_args(argv)
 
     cfg = SvolConfig()
     cfg.model.backbone = args.backbone
-    path = build_pretrained_checkpoint(
-        cfg, args.video_ckpt, args.sketch_ckpt, args.out, args.name
-    )
-    print(f"wrote pretrained-init checkpoint: {path}")
+    if args.reference_ckpt:
+        path = build_reference_checkpoint(
+            cfg, args.reference_ckpt, args.out, args.name or "reference_port"
+        )
+    else:
+        if not (args.video_ckpt and args.sketch_ckpt):
+            p.error("--video_ckpt/--sketch_ckpt required without --reference_ckpt")
+        path = build_pretrained_checkpoint(
+            cfg, args.video_ckpt, args.sketch_ckpt, args.out,
+            args.name or "pretrained_init"
+        )
+    print(f"wrote ported checkpoint: {path}")
 
 
 def load_backbone_weights(variables, backbone: str,
