@@ -116,6 +116,9 @@ def main(argv=None) -> None:
     ap.add_argument("--quantize", default=None, choices=["int8"],
                     help="measure the int8 serving path (ops/quant.py) "
                          "instead of the default exact bf16 path")
+    ap.add_argument("--calibrated", action="store_true",
+                    help="with --quantize: static activation scales from a "
+                         "calibration pass (fastest serving configuration)")
     args = ap.parse_args(argv)
 
     _enable_compile_cache()
@@ -128,6 +131,12 @@ def main(argv=None) -> None:
     n_iters = args.iters
     model = build_model(cfg)
     variables = init_variables(model, cfg)
+    if args.calibrated and args.quantize:
+        from svol_tpu.ops.quant import calibrate_scales
+
+        calib = _sample_batch(cfg, batch_size=batch_size, uint8_pixels=True)
+        quant = calibrate_scales(model, variables, [calib], max_batches=1)
+        variables = {**variables, "quant": quant}
     predict = make_predict_fn(model.apply)
 
     device = jax.devices()[0]

@@ -29,12 +29,18 @@ def measure(overrides: dict, batch_size: int = 8, n_iters: int = 20) -> float:
     from svol_tpu.train.steps import make_predict_fn
 
     cfg = _flagship_config()
+    calibrate = bool(overrides.pop("calibrate", False))
     for k, v in overrides.items():
         assert hasattr(cfg.model, k), k
         setattr(cfg.model, k, v)
     model = build_model(cfg)
     batch = _sample_batch(cfg, batch_size=batch_size, uint8_pixels=True)
     variables = init_variables(model, cfg)
+    if calibrate:  # static-scale int8 (ops/quant.py)
+        from svol_tpu.ops.quant import calibrate_scales
+
+        quant = calibrate_scales(model, variables, [batch], max_batches=1)
+        variables = {**variables, "quant": quant}
     predict = make_predict_fn(model.apply)
 
     device = jax.devices()[0]

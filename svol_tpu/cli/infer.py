@@ -190,7 +190,22 @@ def main(argv=None) -> None:
         logger.warning("no --resume checkpoint given; evaluating random init")
 
     model, criterion, state = eval_setup(config)
-    eval_step = make_eval_step(config, criterion)
+    extra_variables = None
+    if config.model.quantize and config.eval.calibration_batches > 0:
+        # static-scale int8: collect per-conv activation stats on the first
+        # N eval batches (exact float forward), then evaluate with them
+        from svol_tpu.ops.quant import calibrate_scales
+
+        logger.info(
+            f"calibrating int8 scales on {config.eval.calibration_batches} batches")
+        variables = {"params": state.params}
+        if state.batch_stats is not None and len(state.batch_stats) > 0:
+            variables["batch_stats"] = state.batch_stats
+        calib_batches = (b for b, _meta in build_loader(config, "test"))
+        quant = calibrate_scales(model, variables, calib_batches,
+                                 max_batches=config.eval.calibration_batches)
+        extra_variables = {"quant": quant}
+    eval_step = make_eval_step(config, criterion, extra_variables=extra_variables)
     loader = build_loader(config, "test")
     results_filename = f"{cur_time()}_{config.run_tag('test')}.jsonl"
     logger.info("Start inference...")

@@ -162,6 +162,9 @@ class EvalConfig:
     no_sort_results: bool = False
     ap_num_workers: int = 8
     ap_chunksize: int = 50
+    # static-scale int8: collect per-conv activation scales from this many
+    # eval batches before the run (0 = dynamic scales; needs --quantize int8)
+    calibration_batches: int = 0
 
 
 @dataclass
@@ -308,6 +311,7 @@ _FLAG_MAP = {
     "profile": ("train", "profile"),
     "bbox_type": ("eval", "bbox_type"),
     "no_sort_results": ("eval", "no_sort_results"),
+    "calibration_batches": ("eval", "calibration_batches"),
 }
 
 _BOOL_STORE_TRUE = {

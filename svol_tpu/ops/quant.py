@@ -53,10 +53,13 @@ def int8_conv(
     strides: Sequence[int],
     padding: Padding,
     out_dtype=None,
+    static_amax: Array | None = None,
 ) -> Array:
-    """NHWC x HWIO int8 conv with dynamic per-tensor activation scale."""
+    """NHWC x HWIO int8 conv. Activation scale: dynamic per-tensor abs-max,
+    or a calibrated ``static_amax`` (the quantize pass then has no reduction
+    to wait on and fuses into the previous op's epilogue)."""
     xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf))
+    amax = jnp.max(jnp.abs(xf)) if static_amax is None else static_amax
     ascale = jnp.maximum(amax, 1e-8) / 127.0
     xq = jnp.clip(jnp.round(xf / ascale), -127, 127).astype(jnp.int8)
     wq, wscale = quantize_weights(kernel)
@@ -72,3 +75,35 @@ def int8_conv(
     )
     out = acc.astype(jnp.float32) * (ascale * wscale)
     return out.astype(out_dtype or x.dtype)
+
+
+def calibrate_scales(model, variables, batches, max_batches: int = 8):
+    """Collect per-conv activation abs-max statistics for static int8 scales.
+
+    Runs the model (built with ``quantize='int8'``) on up to ``max_batches``
+    input batches with the ``quant`` collection mutable: every
+    QuantizableConv records its running input amax while computing the exact
+    float output (models/resnet.py). Returns the ``quant`` collection to pass
+    back into apply (e.g. ``{**variables, "quant": scales}``) — convs then
+    use static scales.
+
+    ``batches`` yields dicts with the model's input keys (extra keys like
+    targets are ignored).
+    """
+    input_keys = ("src_sketch", "src_video", "src_sketch_mask",
+                  "src_video_mask")
+    quant = None
+    for i, batch in enumerate(batches):
+        if i >= max_batches:
+            break
+        vars_in = dict(variables)
+        if quant is not None:
+            vars_in["quant"] = quant
+        _, mutated = model.apply(
+            vars_in, **{k: batch[k] for k in input_keys}, train=False,
+            mutable=["quant"],
+        )
+        quant = mutated["quant"]
+    if quant is None:
+        raise ValueError("calibration got zero batches")
+    return quant

@@ -80,18 +80,25 @@ def optax_global_norm(tree) -> jnp.ndarray:
     return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
 
 
-def make_eval_step(config: SvolConfig, criterion: SetCriterion) -> Callable:
+def make_eval_step(config: SvolConfig, criterion: SetCriterion,
+                   extra_variables: Dict | None = None) -> Callable:
     """eval_step(state, batch) -> (losses, scores, boxes_xyxy).
 
     Mirrors the device part of test.py:113-153: deterministic forward, loss
     logging, softmax foreground score, cxcywh -> xyxy clamped to [0, 1]. The
     host-side JSONL assembly lives in svol_tpu/cli/infer.py.
+
+    ``extra_variables`` merges additional collections into the model
+    variables — e.g. the calibrated ``quant`` scales for the static-scale
+    int8 path (ops/quant.py::calibrate_scales).
     """
 
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         variables = {"params": state.params}
         if state.batch_stats is not None and len(state.batch_stats) > 0:
             variables["batch_stats"] = state.batch_stats
+        if extra_variables:
+            variables.update(extra_variables)
         outputs = state.apply_fn(
             variables,
             src_sketch=batch["src_sketch"],

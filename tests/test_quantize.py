@@ -102,3 +102,58 @@ def test_full_model_int8_forward(rng):
         a, b = np.asarray(out_f[k]), np.asarray(out_q[k])
         assert np.isfinite(b).all()
         assert np.abs(a - b).max() < 0.5, (k, np.abs(a - b).max())
+
+
+def test_static_calibration_scales(rng):
+    """calibrate_scales collects per-conv amax on exact-float forwards; the
+    static-scale int8 apply stays close to float and matches the dynamic
+    path's quality."""
+    from svol_tpu.ops.quant import calibrate_scales
+    from svol_tpu.config import DataConfig, ModelConfig, SvolConfig
+    from svol_tpu.models import build_model
+
+    cfg = SvolConfig(
+        data=DataConfig(num_frames=2, max_boxes_per_frame=2, image_size=64),
+        model=ModelConfig(hidden_dim=32, nheads=4, num_layers=1,
+                          num_queries=4, num_queries_per_frame=2,
+                          cmt_dim_feedforward=64, compute_dtype="float32",
+                          quantize="int8"),
+    )
+    def mk_batch(seed):
+        r = np.random.default_rng(seed)
+        return {
+            "src_sketch": r.uniform(size=(1, 1, 64, 64, 3)).astype(np.float32),
+            "src_video": r.uniform(size=(1, 2, 64, 64, 3)).astype(np.float32),
+            "src_sketch_mask": np.ones((1, 1), np.float32),
+            "src_video_mask": np.ones((1, 2), np.float32),
+        }
+
+    model_q = build_model(cfg)
+    cfg_f = SvolConfig.from_dict(cfg.to_dict())
+    cfg_f.model.quantize = None
+    model_f = build_model(cfg_f)
+    batch = mk_batch(0)
+    variables = model_f.init(jax.random.PRNGKey(0), **batch)
+
+    quant = calibrate_scales(model_q, variables, [mk_batch(0), mk_batch(1)],
+                             max_batches=2)
+    leaves = jax.tree_util.tree_leaves(quant)
+    assert leaves and all(float(a) > 0 for a in leaves)
+    # running max accumulates (calibrating again on the same data is a no-op)
+    quant2 = calibrate_scales(model_q, {**variables, "quant": quant},
+                              [mk_batch(0)], max_batches=1)
+    for a, b in zip(jax.tree_util.tree_leaves(quant),
+                    jax.tree_util.tree_leaves(quant2)):
+        assert float(b) >= float(a) - 1e-6
+
+    out_f = model_f.apply(variables, **batch)
+    out_static = model_q.apply({**variables, "quant": quant}, **batch)
+    out_dyn = model_q.apply(variables, **batch)
+    for k in ("pred_logits", "pred_boxes"):
+        a = np.asarray(out_f[k])
+        err_static = np.abs(np.asarray(out_static[k]) - a).max()
+        err_dyn = np.abs(np.asarray(out_dyn[k]) - a).max()
+        assert np.isfinite(np.asarray(out_static[k])).all()
+        assert err_static < 0.5, (k, err_static)
+        # calibrated-on-this-data static scales should not be much worse
+        assert err_static < err_dyn * 2.5 + 0.05, (k, err_static, err_dyn)
