@@ -25,7 +25,7 @@ import os
 
 def set_virtual_cpu_mesh_flags(n_devices: int | None = None,
                                warn_secs: int = 120,
-                               terminate_secs: int = 7200) -> None:
+                               terminate_secs: int = 1800) -> None:
     flags = os.environ.get("XLA_FLAGS", "")
     add = []
     if n_devices and "xla_force_host_platform_device_count" not in flags:

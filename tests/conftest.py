@@ -5,14 +5,24 @@ JAX's standard trick for testing multi-chip sharding without hardware
 The env vars must be set before the first backend initialization; the
 ``jax_platforms`` config update overrides the axon TPU plugin that this
 image's sitecustomize registers in every interpreter.
+
+Stability on this 1-core host (hard-won, round 2 — core-dump root causes):
+  * collective rendezvous timeouts raised (cpu_mesh.py) — the defaults
+    LOG(FATAL) the process under scheduling skew;
+  * async CPU dispatch off — an async computation still draining the
+    XLA:CPU Eigen pool when the next 8-shard program dispatches can
+    wedge the pool into a cross-program deadlock (all workers parked in
+    blocking collective waits, the missing participant queued behind them);
+  * torch-importing test modules run LAST (collection reorder below): the
+    observed deadlock/abort always struck the first sharded train step
+    executed after torch was loaded into the process.
 """
 import os
 
 from svol_tpu.utils.cpu_mesh import set_virtual_cpu_mesh_flags
 
-# 8 virtual devices + raised CPU-collective rendezvous timeouts (the default
-# terminate timeout SIGABRTs under 1-core scheduling skew — see cpu_mesh.py)
-set_virtual_cpu_mesh_flags(n_devices=8)
+set_virtual_cpu_mesh_flags(n_devices=8, terminate_secs=1800)
+os.environ.setdefault("JAX_CPU_ENABLE_ASYNC_DISPATCH", "false")
 
 import jax
 
@@ -26,6 +36,16 @@ enable_compile_cache()
 
 import numpy as np
 import pytest
+
+_TORCH_MODULES = ("test_torch_parity", "test_torch_port",
+                  "test_full_model_parity", "test_reference_port")
+
+
+def pytest_collection_modifyitems(session, config, items):
+    # stable partition: torch-importing modules move to the end, everything
+    # else keeps its order — no sharded-mesh program then runs after torch
+    # is in the process (see module docstring)
+    items.sort(key=lambda it: any(m in it.nodeid for m in _TORCH_MODULES))
 
 
 @pytest.fixture
