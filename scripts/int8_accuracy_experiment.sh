@@ -20,3 +20,6 @@ LATEST=$(python -c "from svol_tpu.train.checkpoints import find_latest_checkpoin
 echo "LATEST=$LATEST"
 python -m svol_tpu.cli.infer $COMMON --resume "$LATEST" --results_dir /tmp/acc_res_f 2>&1 | grep -E "mIoU|mAP|R@|R1" | tail -8
 python -m svol_tpu.cli.infer $COMMON --resume "$LATEST" --results_dir /tmp/acc_res_q --quantize int8 2>&1 | grep -E "mIoU|mAP|R@|R1" | tail -8
+# static-scale variant (calibrated on the first 4 eval batches)
+python -m svol_tpu.cli.infer $COMMON --resume "$LATEST" --results_dir /tmp/acc_res_qs \
+  --quantize int8 --calibration_batches 4 2>&1 | grep -E "mIoU|mAP|R@|R1" | tail -8
