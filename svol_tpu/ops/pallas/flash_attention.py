@@ -65,9 +65,24 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     ).astype(o_ref.dtype)
 
 
-def _block_q(lq: int) -> int:
-    # largest block <= 256 that divides Lq and is a multiple of the bf16
-    # sublane tile (16); fall back to 128 + padded tail blocks
+# largest f32 logits tile we let a single grid step hold; 1568x1568 (the
+# SVOL video self-attention, 9.8 MB) fits comfortably in the 64 MB budget
+_MAX_LOGITS_TILE_BYTES = 24 * 1024 * 1024
+
+
+def _block_q(lq: int, lk: int) -> int:
+    # Full-row blocks measured fastest on the SVOL shape (one grid step per
+    # batch-head: K/V read once, no per-block grid overhead — 1282 vs
+    # 1414 us/call at bq=224; scripts/bench_flash_block.py). Fall back to the
+    # largest <=256 divisor when the f32 logits tile would outgrow VMEM.
+    # SVOL_FLASH_BLOCK_Q overrides for experiments.
+    import os
+
+    override = os.environ.get("SVOL_FLASH_BLOCK_Q")
+    if override and lq % int(override) == 0:
+        return int(override)
+    if lq * lk * 4 <= _MAX_LOGITS_TILE_BYTES:
+        return lq
     for bq in (256, 224, 192, 160, 128, 112, 96, 80, 64, 48, 32, 16):
         if lq % bq == 0:
             return bq
@@ -78,7 +93,7 @@ def _pallas_forward(q: Array, k: Array, v: Array, scale: float,
                     interpret: bool) -> Array:
     BH, Lq, d = q.shape
     Lk = k.shape[1]
-    bq = _block_q(Lq)
+    bq = _block_q(Lq, Lk)
     grid = (BH, pl.cdiv(Lq, bq))
     kwargs = {}
     if _HAS_PLTPU and not interpret:
