@@ -96,6 +96,10 @@ class ModelConfig:
     # ops/quant.py). Inference-only: train=True silently keeps float convs.
     # None | 'int8'
     quantize: Optional[str] = None
+    # with quantize='int8': also run the flash self-attention QK/PV matmuls
+    # on the int8 units (head_dim 32 quarters the bf16 MXU; int8 halves that
+    # penalty — ops/pallas/flash_attention.py int8 variant)
+    quantize_attention: bool = False
     # TPU stem: 'space_to_depth' is the mathematically-equivalent MXU-friendly
     # rearrangement of the 7x7/s2 entry conv (models/resnet.py); checkpoints
     # convert losslessly between the two (utils/torch_port.py)
@@ -280,6 +284,7 @@ _FLAG_MAP = {
     "use_pallas_attention": ("model", "use_pallas_attention"),
     "use_flash_attention": ("model", "use_flash_attention"),
     "quantize": ("model", "quantize"),
+    "quantize_attention": ("model", "quantize_attention"),
     "resnet_stem": ("model", "resnet_stem"),
     "compute_dtype": ("model", "compute_dtype"),
     "matcher": ("loss", "matcher"),
@@ -319,7 +324,7 @@ _BOOL_STORE_TRUE = {
     "unified_sketch_dataset", "per_frame_flip", "pre_norm", "debug",
     "eval_untrained",
     "resume_all", "freeze_backbone", "no_sort_results", "use_pallas_attention",
-    "use_flash_attention", "profile", "merged_matcher",
+    "use_flash_attention", "quantize_attention", "profile", "merged_matcher",
 }
 
 

@@ -45,6 +45,7 @@ class CrossModalTransformerLayer(nn.Module):
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
     use_flash: bool = False
+    flash_int8: bool = False
 
     @nn.compact
     def __call__(
@@ -76,7 +77,8 @@ class CrossModalTransformerLayer(nn.Module):
         qk = mem + vid_pos
         attn_out, att2 = MultiheadAttention(
             d_model=self.d_model, num_heads=self.nhead, dtype=self.dtype,
-            use_flash=self.use_flash, name="content_self_attn",
+            use_flash=self.use_flash, flash_int8=self.flash_int8,
+            name="content_self_attn",
         )(qk, qk, mem, deterministic=deterministic, need_weights=need_weights)
         mem = ln("norm2")(attn_out + mem)
         mem = shard_video_tokens(ln("norm3")(
@@ -91,7 +93,8 @@ class CrossModalTransformerLayer(nn.Module):
         qk = out + query_pos
         attn_out, att3 = MultiheadAttention(
             d_model=self.d_model, num_heads=self.nhead, dtype=self.dtype,
-            use_flash=self.use_flash, name="token_self_attn",
+            use_flash=self.use_flash, flash_int8=self.flash_int8,
+            name="token_self_attn",
         )(qk, qk, out, deterministic=deterministic, need_weights=need_weights)
         out = ln("norm4")(attn_out + out)
 
@@ -130,6 +133,7 @@ class CrossModalTransformer(nn.Module):
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
     use_flash: bool = False
+    flash_int8: bool = False
 
     @nn.compact
     def __call__(
@@ -159,6 +163,7 @@ class CrossModalTransformer(nn.Module):
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
                 use_flash=self.use_flash,
+                flash_int8=self.flash_int8,
                 name=f"layer{i}",
             )(mem, src_skch, out, vid_pad_mask, vid_pos, query_pos,
               deterministic=deterministic, need_weights=need_weights)

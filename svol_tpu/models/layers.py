@@ -42,6 +42,7 @@ class MultiheadAttention(nn.Module):
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
     use_flash: bool = False  # fused VMEM-softmax kernel on the unmasked path
+    flash_int8: bool = False  # int8-MXU QK/PV variant (serving path)
 
     @nn.compact
     def __call__(
@@ -83,9 +84,14 @@ class MultiheadAttention(nn.Module):
             # softmax — never written to HBM (ops/pallas/flash_attention.py).
             # More precise than the bf16 fast path below AND faster: the
             # materialized weights dominate these blocks' HBM traffic.
-            from svol_tpu.ops.pallas.flash_attention import flash_self_attention
+            from svol_tpu.ops.pallas.flash_attention import (
+                flash_self_attention,
+                flash_self_attention_int8,
+            )
 
-            out = flash_self_attention(q, k, v, head_dim**-0.5)
+            attn_fn = (flash_self_attention_int8 if self.flash_int8
+                       else flash_self_attention)
+            out = attn_fn(q, k, v, head_dim**-0.5)
             out = out.transpose(0, 2, 1, 3).reshape(B, Lq, self.d_model)
             return dense("out_proj")(out), None
 

@@ -56,6 +56,8 @@ class SketchLocalizationModel(nn.Module):
                 dtype=dtype,
                 use_pallas=cfg.model.use_pallas_attention,
                 use_flash=cfg.model.use_flash_attention,
+                flash_int8=(cfg.model.quantize == "int8"
+                            and cfg.model.quantize_attention),
                 name="head",
             )
         elif cfg.model.sketch_head == "sketch_detr":

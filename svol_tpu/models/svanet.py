@@ -47,6 +47,7 @@ class SVANet(nn.Module):
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
     use_flash: bool = False
+    flash_int8: bool = False
 
     @nn.compact
     def __call__(
@@ -97,6 +98,7 @@ class SVANet(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             use_flash=self.use_flash,
+            flash_int8=self.flash_int8,
             name="transformer",
         )(vid, skch, ~vid_valid, vid_pos, query_embed,
           deterministic=deterministic, need_weights=return_attention)

@@ -146,3 +146,108 @@ def flash_self_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
         v.reshape(B * H, Lk, d), scale, interpret,
     )
     return out.reshape(B, H, Lq, d)
+
+
+# ---------------------------------------------------------------------------
+# int8 variant (serving path, --quantize_attention): head_dim=32 fills only
+# 32/128 of the MXU contraction at bf16, capping QK/PV at quarter rate; the
+# int8 MXU units run 2x, halving that penalty. q/k/v are quantized per
+# tensor outside the kernel; the softmax stays exact f32 in VMEM; the
+# attention weights requantize with the STATICALLY known scale 1/127
+# (softmax output lives in [0, 1]).
+# ---------------------------------------------------------------------------
+
+
+def _quant_sym(x: Array):
+    amax = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-8)
+    s = amax / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127)
+    return xq.astype(jnp.int8), s
+
+
+def _pallas_forward_int8(q: Array, k: Array, v: Array, scale: float,
+                         interpret: bool) -> Array:
+    BH, Lq, d = q.shape
+    Lk = k.shape[1]
+    bq = _block_q(Lq, Lk)
+    qq, sq = _quant_sym(q)
+    kq, sk = _quant_sym(k)
+    vq, sv = _quant_sym(v)
+    # runtime scales enter the kernel as a (1, 1) operand (logit scale) and
+    # as an XLA epilogue multiply (value scale)
+    grid = (BH, pl.cdiv(Lq, bq))
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        )
+    out_i32ish = pl.pallas_call(
+        _kernel_int8_runtime_scale,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, Lk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, Lk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1), lambda b, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, Lq, d), jnp.float32),
+        interpret=interpret,
+        **kwargs,
+    )(qq, kq, vq, (sq * sk * jnp.float32(scale)).reshape(1, 1))
+    # the 1/127 weight factor cancels inside the kernel's per-row
+    # scale; only the value scale remains
+    return (out_i32ish * sv).astype(q.dtype)
+
+
+def _kernel_int8_runtime_scale(q_ref, k_ref, v_ref, ls_ref, o_ref):
+    logits = jax.lax.dot_general(
+        q_ref[0], k_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (BQ, L) i32
+    logits = logits.astype(jnp.float32) * ls_ref[0, 0]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    # per-row weight requantization: w/denom in [0, wmax_row]; scaling each
+    # row by its own max keeps the int8 step size ~wmax/127 instead of a
+    # global 1/127, which matters for diffuse rows (small weights, small
+    # outputs — a fixed step drowns them in noise)
+    wmax = jnp.max(e, axis=-1, keepdims=True)
+    wq = jnp.round(e * (127.0 / wmax)).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        wq, v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    row_scale = wmax / (127.0 * denom)  # (BQ, 1) f32
+    o_ref[0] = acc.astype(jnp.float32) * row_scale
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_int8(q: Array, k: Array, v: Array, scale: float,
+                         interpret: bool = False) -> Array:
+    """int8-MXU attention, (BH, Lq, d) layout; exact f32 softmax in VMEM."""
+    return _pallas_forward_int8(q, k, v, scale, interpret)
+
+
+def _fwd_int8(q, k, v, scale, interpret):
+    return _pallas_forward_int8(q, k, v, scale, interpret), (q, k, v)
+
+
+flash_attention_int8.defvjp(_fwd_int8, _bwd)
+
+
+def flash_self_attention_int8(q: Array, k: Array, v: Array,
+                              scale: float) -> Array:
+    """(B, H, L, d) int8-MXU attention; quantization error bounded by 8-bit
+    symmetric q/k/v + weight requantization at 1/127."""
+    B, H, Lq, d = q.shape
+    Lk = k.shape[2]
+    interpret = jax.default_backend() != "tpu"
+    out = flash_attention_int8(
+        q.reshape(B * H, Lq, d), k.reshape(B * H, Lk, d),
+        v.reshape(B * H, Lk, d), scale, interpret,
+    )
+    return out.reshape(B, H, Lq, d)

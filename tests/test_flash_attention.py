@@ -84,3 +84,56 @@ def test_mha_flash_path_matches_exact(rng):
                              need_weights=False)
     np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_m_e),
                                atol=1e-6)
+
+
+def test_int8_flash_close_to_reference(rng):
+    """The int8-MXU variant (serving path): 8-bit q/k/v + 1/127 weight
+    requantization bounds the deviation from the exact f32 attention."""
+    from svol_tpu.ops.pallas.flash_attention import (
+        attention_reference,
+        flash_attention_int8,
+    )
+
+    BH, L, d = 4, 64, 32
+    q = jnp.asarray(rng.standard_normal((BH, L, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((BH, L, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((BH, L, d)), jnp.float32)
+    ref = attention_reference(q, k, v, d ** -0.5)
+    out = flash_attention_int8(q, k, v, d ** -0.5, True)  # interpret
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.03, rel
+    # gradients flow (backward rematerializes the f32 reference)
+    g = jax.grad(lambda a: flash_attention_int8(a, k, v, d ** -0.5, True).sum())(q)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_full_model_quantize_attention(rng):
+    """--quantize int8 --quantize_attention runs end to end and stays close
+    to the float model."""
+    from svol_tpu.config import DataConfig, ModelConfig, SvolConfig
+    from svol_tpu.models import build_model
+
+    def cfg(q, qa=False):
+        return SvolConfig(
+            data=DataConfig(num_frames=2, max_boxes_per_frame=2, image_size=64),
+            model=ModelConfig(hidden_dim=32, nheads=4, num_layers=1,
+                              num_queries=4, num_queries_per_frame=2,
+                              cmt_dim_feedforward=64, compute_dtype="float32",
+                              quantize=q, quantize_attention=qa),
+        )
+
+    batch = {
+        "src_sketch": rng.uniform(size=(1, 1, 64, 64, 3)).astype(np.float32),
+        "src_video": rng.uniform(size=(1, 2, 64, 64, 3)).astype(np.float32),
+        "src_sketch_mask": np.ones((1, 1), np.float32),
+        "src_video_mask": np.ones((1, 2), np.float32),
+    }
+    model_f = build_model(cfg(None))
+    model_qa = build_model(cfg("int8", qa=True))
+    variables = model_f.init(jax.random.PRNGKey(0), **batch)
+    out_f = model_f.apply(variables, **batch)
+    out_qa = model_qa.apply(variables, **batch)
+    for key in ("pred_logits", "pred_boxes"):
+        a, b = np.asarray(out_f[key]), np.asarray(out_qa[key])
+        assert np.isfinite(b).all()
+        assert np.abs(a - b).max() < 0.6, (key, np.abs(a - b).max())
