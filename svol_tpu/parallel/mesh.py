@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import contextlib
 import contextvars
+import os
 from dataclasses import dataclass
 from typing import Any, Optional, Sequence
 
@@ -137,9 +138,23 @@ def make_mesh_plan(
     devices: Optional[Sequence[jax.Device]] = None,
     seq_axis: int = 1,
 ) -> MeshPlan:
-    """Build a ('data', 'seq') mesh. seq_axis=1 (default) means pure DP."""
+    """Build a ('data', 'seq') mesh. seq_axis=1 (default) means pure DP.
+
+    ``SVOL_MESH_DEVICES`` caps the default device set — the virtual-CPU-mesh
+    test provision: XLA:CPU sizes its execution pool by device count and its
+    collective waits BLOCK pool workers, so an n-device mesh on exactly n
+    virtual devices can starve itself into a rendezvous deadlock (all
+    workers parked, the missing participant's producer task queued behind
+    them — core-dumped twice, round 2). Tests force 2n virtual devices and
+    cap the mesh at n, leaving always-free workers. No effect when
+    ``devices``/``num_devices`` are passed explicitly or the env var is
+    unset (production TPU path).
+    """
     if devices is None:
         devices = jax.devices()
+        cap = os.environ.get("SVOL_MESH_DEVICES")
+        if cap:
+            devices = devices[:int(cap)]
     if num_devices > 0:
         devices = devices[:num_devices]
     n = len(devices)

@@ -21,7 +21,14 @@ import os
 
 from svol_tpu.utils.cpu_mesh import set_virtual_cpu_mesh_flags
 
-set_virtual_cpu_mesh_flags(n_devices=8, terminate_secs=1800)
+#   * 16 virtual devices but 8-device meshes (SVOL_MESH_DEVICES): XLA:CPU
+#     sizes its worker pool by device count and its collective waits BLOCK
+#     workers — on exactly-n devices an n-shard program can park all n
+#     workers at a rendezvous while the missing participant's producer task
+#     waits in the queue (deadlock; struck ~50% of full-suite runs). Eight
+#     always-free workers break the cycle structurally.
+set_virtual_cpu_mesh_flags(n_devices=16, terminate_secs=1800)
+os.environ.setdefault("SVOL_MESH_DEVICES", "8")
 os.environ.setdefault("JAX_CPU_ENABLE_ASYNC_DISPATCH", "false")
 
 import jax
