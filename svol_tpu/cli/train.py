@@ -24,6 +24,7 @@ import jax
 
 from svol_tpu.config import SvolConfig, config_from_args, config_to_markdown
 from svol_tpu.cli.infer import inference
+from svol_tpu.evaluate.device import fast_validation
 from svol_tpu.data.pipeline import build_loader, device_prefetch
 from svol_tpu.losses.criterion import build_criterion
 from svol_tpu.models import build_model
@@ -169,18 +170,30 @@ def train_val(config: SvolConfig, logger) -> None:
 
         if (iter_i + 1) % config.train.val_interval == 0 or config.train.debug:
             drain_metrics()
-            results_filename = f"{cur_time()}_{config.run_tag('val')}.jsonl"
-            metrics_out, eval_loss_meters, _ = inference(
-                config, state, eval_step, val_loader_factory(),
-                results_filename, logger=logger,
-            )
-            cur_metric = metrics_out["brief"]["SVOL-full-mIoU@R1"]
+            if config.train.fast_val:
+                # on-device mIoU@R1 / R1@thd (evaluate/device.py): identical
+                # selection semantics to the host path at k=1, no JSONL
+                # assembly / AP worker pool per val_interval. The full host
+                # suite runs below only when this finds a new best (and the
+                # CLI caller runs it once at the end of training).
+                brief = fast_validation(
+                    state, eval_step, val_loader_factory(),
+                    config.model.num_queries_per_frame,
+                )
+            else:
+                results_filename = f"{cur_time()}_{config.run_tag('val')}.jsonl"
+                metrics_out, eval_loss_meters, _ = inference(
+                    config, state, eval_step, val_loader_factory(),
+                    results_filename, logger=logger,
+                )
+                brief = metrics_out["brief"]
+            cur_metric = brief["SVOL-full-mIoU@R1"]
             if writer:
                 writer.log(iter_i + 1, "val",
-                           {k: float(v) for k, v in metrics_out["brief"].items()})
+                           {k: float(v) for k, v in brief.items()})
             logger.info(
                 f"\n>>>>> Evaluation\n[Iter] {iter_i + 1:03d}\n"
-                f"[Metrics]\n{pprint.pformat(metrics_out['brief'], indent=4)}\n"
+                f"[Metrics]\n{pprint.pformat(brief, indent=4)}\n"
             )
             if config.train.scheduler == "reducelronplateau":
                 # torch ReduceLROnPlateau(mode=max, factor=.1, patience=1,
@@ -197,6 +210,17 @@ def train_val(config: SvolConfig, logger) -> None:
             if cur_metric > best_metric:
                 early_stop_count = 0
                 best_metric = cur_metric
+                if config.train.fast_val:
+                    # full host suite (AP + JSONL artifacts) only on new bests
+                    metrics_out, _, _ = inference(
+                        config, state, eval_step, val_loader_factory(),
+                        f"{cur_time()}_{config.run_tag('val')}.jsonl",
+                        logger=logger,
+                    )
+                    logger.info(
+                        f"\n>>>>> New best (full metrics)\n"
+                        f"{pprint.pformat(metrics_out['brief'], indent=4)}\n"
+                    )
                 if process_index == 0:
                     save_checkpoint(
                         config.train.checkpoint,
@@ -216,6 +240,18 @@ def train_val(config: SvolConfig, logger) -> None:
                     break
             if config.train.debug:
                 break
+
+    if config.train.fast_val:
+        # end-of-training full host evaluation (AP + JSONL artifacts) — the
+        # fast path above only produced them on new bests
+        metrics_out, _, _ = inference(
+            config, state, eval_step, val_loader_factory(),
+            f"{cur_time()}_{config.run_tag('val_final')}.jsonl", logger=logger,
+        )
+        logger.info(
+            f"\n>>>>> Final evaluation (best mIoU@R1 {best_metric:.2f})\n"
+            f"{pprint.pformat(metrics_out['brief'], indent=4)}\n"
+        )
 
 
 def main(argv=None) -> None:

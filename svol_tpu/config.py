@@ -156,6 +156,10 @@ class TrainConfig:
     dp_devices: int = -1
     # Write a jax.profiler trace of the first profiled steps to log_dir.
     profile: bool = False
+    # On-device fast validation (evaluate/device.py): mIoU@R1 drives
+    # checkpoint selection / early stopping each val_interval; the full host
+    # suite (AP + JSONL) runs only on new bests and at the end of training.
+    fast_val: bool = False
 
 
 @dataclass
@@ -314,6 +318,7 @@ _FLAG_MAP = {
     "scheduler": ("train", "scheduler"),
     "freeze_backbone": ("train", "freeze_backbone"),
     "profile": ("train", "profile"),
+    "fast_val": ("train", "fast_val"),
     "bbox_type": ("eval", "bbox_type"),
     "no_sort_results": ("eval", "no_sort_results"),
     "calibration_batches": ("eval", "calibration_batches"),
@@ -325,6 +330,7 @@ _BOOL_STORE_TRUE = {
     "eval_untrained",
     "resume_all", "freeze_backbone", "no_sort_results", "use_pallas_attention",
     "use_flash_attention", "quantize_attention", "profile", "merged_matcher",
+    "fast_val",
 }
 
 

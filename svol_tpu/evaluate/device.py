@@ -65,3 +65,45 @@ def finalize(miou_sum: float, hits, n_gts: float) -> Dict[str, float]:
     out = {f"R@{thd}": 100.0 * float(h) / n for thd, h in zip(IOU_THDS, hits)}
     out["mIoU"] = 100.0 * float(miou_sum) / n
     return out
+
+
+def fast_validation(
+    state, eval_step, loader, queries_per_frame: int
+) -> Dict[str, float]:
+    """Training-time fast validation: on-device mIoU@R1 / R1@thd.
+
+    Drives checkpoint selection / early stopping each ``val_interval``
+    (``--fast_val``) without the host path's JSONL assembly and AP worker
+    pool (evaluate/metrics.py) — only three accumulator scalars cross the
+    device boundary per batch. ``SVOL-full-mIoU@R1`` — the selection metric,
+    train.py:297 — is semantically identical to the host evaluator at k=1
+    (tests/test_device_metrics.py); the host value can differ by <1e-2 from
+    the JSONL rows' 4-decimal box rounding, which the fast path skips.
+
+    Returns a dict using the host brief's key names for the k=1 entries.
+    """
+    import numpy as np
+
+    total_miou, total_gts = 0.0, 0.0
+    total_hits = np.zeros(len(IOU_THDS))
+    for batch, extra in loader:
+        device_batch = dict(batch)
+        device_batch.update(extra["targets"])
+        _losses, scores, boxes = eval_step(state, device_batch)
+        # pad rows (pipeline.pad_to_batch replicates the last real example):
+        # zero their GT validity so they contribute no GTs/hits
+        tgt_valid = np.asarray(extra["targets"]["box_valid"]).copy()
+        n_real = extra.get("n_real", tgt_valid.shape[0])
+        tgt_valid[n_real:] = False
+        miou_sum, hits, n_gts = recall_miou_batch(
+            scores, boxes, extra["targets"]["boxes"], tgt_valid,
+            k=1, queries_per_frame=queries_per_frame,
+        )
+        total_miou += float(miou_sum)
+        total_hits += np.asarray(hits)
+        total_gts += float(n_gts)
+    out = finalize(total_miou, total_hits, total_gts)
+    brief = {f"SVOL-full-R1@{thd}": out[f"R@{thd}"]
+             for thd in ("0.1", "0.3", "0.5", "0.7")}
+    brief["SVOL-full-mIoU@R1"] = out["mIoU"]
+    return brief

@@ -65,6 +65,9 @@ def test_train_cli_debug_mode(fixture_root, tmp_path):
         COMMON(fixture_root, str(tmp_path)) + [
             "--debug", "--num_iters", "2", "--val_interval", "1",
             "--log_interval", "1", "--early_stop_patience", "-1",
+            # fast-val wiring (evaluate/device.py): selection via on-device
+            # mIoU@R1; full host suite still runs on new-best + at the end
+            "--fast_val",
         ],
         str(tmp_path),
     )
