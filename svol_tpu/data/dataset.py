@@ -133,14 +133,17 @@ class SVOLDataset:
         self.annos = load_json(
             os.path.join(root, video_dataset, "Annotations", "VID", f"{folder}.json")
         )
-        # per-instance visit counter: mixes into the augmentation RNG so a
+        # per-EXAMPLE visit counters: mix into the augmentation RNG so a
         # revisited example draws a fresh flip each epoch (the reference's
         # RandomHorizontalFlip re-randomizes on every access,
-        # svol_dataset.py:218-232). Deterministic given a deterministic
-        # visitation order (grain/threaded loaders are); each loader worker
-        # process carries its own copy, which is fine — (worker, position)
-        # is itself deterministic.
-        self._visit = itertools.count()
+        # svol_dataset.py:218-232). Keyed by example index — a shared global
+        # counter would be consumed from loader worker *threads* in
+        # scheduling-dependent order; per-index counts are
+        # scheduling-independent: an index appears at most once per batch and
+        # batches are fetched sequentially, so its count is exactly its epoch
+        # number. Each grain worker process carries its own copy, which is
+        # fine — grain's index->worker assignment is deterministic.
+        self._visit: Dict[int, itertools.count] = {}
         self.pairs = build_pair_list(
             root, anno_root, phase,
             video_dataset=video_dataset, sketch_dataset=sketch_dataset,
@@ -178,7 +181,7 @@ class SVOLDataset:
 
         sampled = sample_frame_indices(total_frames, self.T, self.tight)
         if self.phase == "train":
-            visit = next(self._visit)
+            visit = next(self._visit.setdefault(idx, itertools.count()))
             rng = random.Random(
                 (self.seed * 1_000_003 + idx) ^ (visit * 2_654_435_761)
             )

@@ -163,6 +163,33 @@ def test_flip_rerandomizes_across_visits(fixture_root):
     assert any(not np.array_equal(frames[0], f) for f in frames[1:])
 
 
+def test_augmentation_deterministic_under_thread_scheduling(fixture_root):
+    """Augmentation draws depend only on (seed, idx, per-idx visit count) —
+    NOT on cross-example fetch order. Two datasets visiting the same indices
+    in different interleavings must produce identical examples per
+    (idx, visit). A shared global visit counter breaks this the moment
+    loader worker threads race (ADVICE r2)."""
+    mk = lambda: SVOLDataset(
+        root=fixture_root, anno_root=os.path.join(fixture_root, "annos"),
+        phase="train", num_frames=T, max_boxes_per_frame=K, image_size=IMG,
+        hflip_prob=0.5, seed=7,
+    )
+    ds_a, ds_b = mk(), mk()
+    idxs = [0, 1, 2]
+    # a: idx-major (epoch 0 all idxs, then epoch 1); b: visit-major per idx
+    a = {}
+    for visit in range(2):
+        for i in idxs:
+            a[(i, visit)] = ds_a[i]
+    b = {}
+    for i in idxs:
+        for visit in range(2):
+            b[(i, visit)] = ds_b[i]
+    for key in a:
+        np.testing.assert_array_equal(a[key].video, b[key].video, err_msg=str(key))
+        np.testing.assert_array_equal(a[key].boxes, b[key].boxes)
+
+
 def test_per_frame_flip_reference_compat(fixture_root):
     """per_frame_flip=True + flip_boxes=False reproduces the reference
     exactly: independent flip decision per frame (svol_dataset.py:218-232),
