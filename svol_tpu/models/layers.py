@@ -89,9 +89,35 @@ class MultiheadAttention(nn.Module):
                 flash_self_attention_int8,
             )
 
-            attn_fn = (flash_self_attention_int8 if self.flash_int8
-                       else flash_self_attention)
-            out = attn_fn(q, k, v, head_dim**-0.5)
+            # int8 attention is a serving-path optimization (config.py
+            # documents quantization as inference-only): training forwards
+            # (deterministic=False) stay on the exact kernel so gradients
+            # never see straight-through-quantized activations
+            if self.flash_int8 and deterministic:
+                scale = head_dim**-0.5
+                if self.is_mutable_collection("quant") and not self.is_initializing():
+                    # calibration pass (ops/quant.calibrate_scales): record
+                    # running per-tensor amax of the projected q/k/v while
+                    # computing the EXACT output — same protocol as
+                    # QuantizableConv, so one calibration run covers convs
+                    # and attention together
+                    for name, t in (("amax_q", q), ("amax_k", k), ("amax_v", v)):
+                        var = self.variable("quant", name,
+                                            lambda: jnp.zeros((), jnp.float32))
+                        var.value = jnp.maximum(
+                            var.value, jnp.max(jnp.abs(t.astype(jnp.float32))))
+                    out = flash_self_attention(q, k, v, scale)
+                else:
+                    static_amax = (
+                        tuple(jnp.asarray(self.get_variable("quant", n),
+                                          jnp.float32)
+                              for n in ("amax_q", "amax_k", "amax_v"))
+                        if self.has_variable("quant", "amax_q") else None
+                    )
+                    out = flash_self_attention_int8(
+                        q, k, v, scale, static_amax=static_amax)
+            else:
+                out = flash_self_attention(q, k, v, head_dim**-0.5)
             out = out.transpose(0, 2, 1, 3).reshape(B, Lq, self.d_model)
             return dense("out_proj")(out), None
 

@@ -90,8 +90,18 @@ def calibrate_scales(model, variables, batches, max_batches: int = 8):
     ``batches`` yields dicts with the model's input keys (extra keys like
     targets are ignored).
     """
+    import jax
+
     input_keys = ("src_sketch", "src_video", "src_sketch_mask",
                   "src_video_mask")
+
+    # jit the calibration forward — un-jitted apply is unusably slow on the
+    # tunneled backend (compiles once for the no-quant first batch, once for
+    # the quant-carrying rest)
+    @jax.jit
+    def calib_step(vars_in, inputs):
+        return model.apply(vars_in, **inputs, train=False, mutable=["quant"])
+
     quant = None
     for i, batch in enumerate(batches):
         if i >= max_batches:
@@ -99,10 +109,7 @@ def calibrate_scales(model, variables, batches, max_batches: int = 8):
         vars_in = dict(variables)
         if quant is not None:
             vars_in["quant"] = quant
-        _, mutated = model.apply(
-            vars_in, **{k: batch[k] for k in input_keys}, train=False,
-            mutable=["quant"],
-        )
+        _, mutated = calib_step(vars_in, {k: batch[k] for k in input_keys})
         quant = mutated["quant"]
     if quant is None:
         raise ValueError("calibration got zero batches")
