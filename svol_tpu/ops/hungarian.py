@@ -166,7 +166,13 @@ def hungarian_cost(cost: Array, assignment: Array) -> Array:
 def hungarian_scipy_callback(cost: Array) -> Array:
     """Host fallback via jax.pure_callback + scipy, same interface as
     :func:`hungarian`. Used to cross-check the on-device solver and as an
-    escape hatch (``LossConfig.hungarian_impl='callback'``)."""
+    escape hatch (``LossConfig.hungarian_impl='callback'``).
+
+    CPU/GPU-only: ``jax.pure_callback`` is unsupported on the axon TPU
+    backend (CLAUDE.md) — nothing in a device path may call back to the
+    host there. On that backend this is a cross-check tool for CPU runs,
+    not a runtime fallback; the default on-device JV solver is the only
+    TPU path."""
     from scipy.optimize import linear_sum_assignment
 
     def _host(c: np.ndarray) -> np.ndarray:
