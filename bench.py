@@ -15,6 +15,12 @@ host<->device round trip across all N steps.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}; baseline is
 the 4,000 frames/sec/chip target from BASELINE.md.
 
+Default configuration: calibrated static-scale int8 (`--quantize int8
+--calibrated`) — the fastest configuration that meets BASELINE.md's accuracy
+bar (every mIoU delta vs float is within 0.13 pts, far inside the 0.5-pt
+parity bar — PERFORMANCE.md "Measured accuracy cost"). ``--bf16`` measures
+the exact-bf16 reference path instead (the bit-accuracy baseline).
+
 ``--with-input`` measures the input-inclusive companion number instead: each
 timed step ships a fresh uint8 batch host->device (the transport the training
 pipeline uses), normalizes on device, runs the forward, and fetches the
@@ -113,13 +119,22 @@ def main(argv=None) -> None:
                          "the timed loop (end-to-end companion number)")
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--quantize", default=None, choices=["int8"],
-                    help="measure the int8 serving path (ops/quant.py) "
-                         "instead of the default exact bf16 path")
-    ap.add_argument("--calibrated", action="store_true",
-                    help="with --quantize: static activation scales from a "
-                         "calibration pass (fastest serving configuration)")
+    ap.add_argument("--quantize", default="int8", choices=["int8", "none"],
+                    help="int8 = the serving path (ops/quant.py); none = the "
+                         "exact bf16 path. Default int8 (accuracy measured at "
+                         "parity — PERFORMANCE.md)")
+    ap.add_argument("--calibrated", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="with int8: static activation scales from a "
+                         "calibration pass (fastest serving configuration); "
+                         "--no-calibrated uses dynamic per-tensor scales")
+    ap.add_argument("--bf16", action="store_true",
+                    help="shorthand for --quantize none (the bit-accuracy "
+                         "reference path)")
     args = ap.parse_args(argv)
+    if args.bf16 or args.quantize == "none":
+        args.quantize = None
+        args.calibrated = False
 
     _enable_compile_cache()
     from svol_tpu.models import build_model
