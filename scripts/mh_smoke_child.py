@@ -1,0 +1,147 @@
+"""Child process for the real two-process multi-host smoke test.
+
+Launched (twice) by tests/test_multiprocess_smoke.py with
+``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` set
+— the same env-var rendezvous contract the reference's torchrun launch uses
+(train.py:362-366, train_quickdraw.sh:33-36). Mock-free: this exercises the
+REAL ``jax.distributed.initialize`` against a live coordinator through the
+production call path (parallel/distributed.initialize_multihost — which the
+CLIs call first thing), forms the global 2-process mesh, runs ONE full tiny
+train step (forward + on-device Hungarian matching + loss + backward +
+optimizer) with each process feeding its own local batch shard, and prints
+the resulting loss for the parent to compare across ranks.
+
+Sequencing note: the train step is AOT-compiled (``.lower().compile()``)
+and both ranks meet at a coordination-service barrier BEFORE the first
+execution. Gloo context formation at the first cross-process collective
+has a 30 s key-value timeout; an asymmetric compile-cache hit (one rank
+warm, one cold — minutes of skew on this 1-core host) blows through it.
+The barrier is a pure coordination-service RPC (no gloo), so it tolerates
+arbitrary compile skew.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from svol_tpu.utils.cpu_mesh import set_virtual_cpu_mesh_flags
+
+# Over-provisioned virtual device pool, same trick as tests/conftest.py:
+# XLA:CPU sizes its worker pool by device count and its collective waits
+# BLOCK workers. With one worker per rank (1 visible core), a program whose
+# two ranks enter DIFFERENT collectives first (async thunk execution makes
+# the order nondeterministic at runtime even for identical executables)
+# deadlocks: each rank's only worker is parked in a collective the peer has
+# not entered. Spare workers let a rank progress the peer's collective too.
+# The MESH still uses exactly one device from each process (see main()).
+set_virtual_cpu_mesh_flags(n_devices=6, terminate_secs=600)
+# async dispatch can float a program's collective thunks concurrently and
+# the two ranks then enter them in different orders — observed live as
+# rank 0 parked in the grad all-reduce while rank 1 sat in an all-gather
+# until the gloo recv timeout. Same hazard class tests/conftest.py disables
+# it for (in-process virtual mesh); disable for the cross-process mesh too.
+os.environ["JAX_CPU_ENABLE_ASYNC_DISPATCH"] = "false"
+
+import jax
+
+# after `import jax`: the axon TPU plugin ignores JAX_PLATFORMS (CLAUDE.md)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+from svol_tpu.parallel.distributed import initialize_multihost
+
+initialize_multihost()  # the production call path under test
+print("STAGE init done", flush=True)
+
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.local_devices()) == 6, jax.local_devices()
+assert len(jax.devices()) == 12, jax.devices()
+
+from svol_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
+import numpy as np
+
+from __graft_entry__ import _flagship_config, _sample_batch
+from svol_tpu.losses.criterion import build_criterion
+from svol_tpu.models import build_model
+from svol_tpu.parallel import make_mesh_plan
+from svol_tpu.train import create_train_state, make_train_step
+
+
+def main() -> None:
+    cfg = _flagship_config(tiny=True)
+    # one device from EACH process: a genuinely cross-process 2-device DP
+    # mesh (the remaining 5 virtual devices per rank exist only to size the
+    # worker pool — see the flags comment above)
+    mesh_devs = [
+        next(d for d in jax.devices() if d.process_index == p)
+        for p in (0, 1)
+    ]
+    plan = make_mesh_plan(devices=mesh_devs)
+    assert plan.data_axis_size == 2, plan.mesh
+
+    model = build_model(cfg)
+    criterion = build_criterion(cfg)
+    # per-host LOCAL shard: global batch 4, each rank feeds its half — the
+    # same contract as cli/train.py (build_loader(shard_index=process_index)
+    # + plan.shard_batch). Identical host data on both ranks keeps the
+    # expected loss deterministic; shard_batch must still route it through
+    # make_array_from_process_local_data, not device_put.
+    local = _sample_batch(cfg, batch_size=2, with_targets=True)
+
+    state = create_train_state(
+        cfg, model, jax.random.PRNGKey(0),
+        {k: local[k] for k in
+         ("src_sketch", "src_video", "src_sketch_mask", "src_video_mask")},
+    )
+    print("STAGE state built", flush=True)
+    state = plan.replicate(state)
+    device_batch = plan.shard_batch(local)
+    assert device_batch["src_video"].shape[0] == 4  # global batch assembled
+
+    print("STAGE batch placed", flush=True)
+    train_step = make_train_step(cfg, criterion, donate=False)
+
+    from jax._src import distributed
+
+    barrier = distributed.global_state.client.wait_at_barrier
+
+    # SERIALIZED compilation: rank 0 compiles and writes the compile-cache
+    # entry; rank 1 waits, then loads that exact serialized executable. Two
+    # independent compiles of the same HLO can produce different thunk
+    # SCHEDULES, and on XLA:CPU each rank's collectives are issued in its
+    # own schedule order — observed live as rank 0 parked in the grad
+    # all-reduce while rank 1 sat in an all-gather until the gloo recv
+    # timeout (a cross-rank collective-order deadlock). Loading the same
+    # cache entry makes the schedules identical by construction. (Real
+    # multi-host TPU deployments get this for free: XLA:TPU programs are
+    # compiled once and the hardware executes collectives in program order.)
+    if jax.process_index() != 0:
+        barrier("svol_mh_rank0_compiled", timeout_in_ms=1_200_000)
+    with plan.activate():
+        compiled = train_step.lower(
+            state, device_batch, jax.random.PRNGKey(1)
+        ).compile()
+    if jax.process_index() == 0:
+        barrier("svol_mh_rank0_compiled", timeout_in_ms=1_200_000)
+
+    print("STAGE compiled", flush=True)
+    # both ranks hold the executable: meet before the first gloo collective
+    barrier("svol_mh_smoke_ready", timeout_in_ms=1_200_000)
+
+    print("STAGE barrier passed", flush=True)
+    state2, metrics = compiled(state, device_batch, jax.random.PRNGKey(1))
+    loss = float(metrics["loss_overall"])
+    assert np.isfinite(loss), loss
+    assert int(state2.step) == int(state.step) + 1
+    print(f"MULTIHOST_LOSS {loss:.6f}", flush=True)
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()
+    # gloo/coordination service threads can wedge interpreter teardown on
+    # this backend; the result line is already out and verified by the parent
+    os._exit(0)

@@ -28,10 +28,21 @@ def initialize_multihost(
     """
     import jax
 
-    explicit = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if not explicit and os.environ.get("JAX_NUM_PROCESSES") is None:
+    coordinator_address = (
+        coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    )
+    if not coordinator_address and os.environ.get("JAX_NUM_PROCESSES") is None:
         # single host: nothing to do
         return
+    # jax.distributed.initialize does NOT read these env names itself (its
+    # auto-detection covers SLURM / TPU-pod metadata only) — parse them here
+    # or the call raises "Number of processes must be defined" on any
+    # env-var-driven launch. Proven live by tests/test_multiprocess_smoke.py
+    # (two real processes, gloo CPU collectives).
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

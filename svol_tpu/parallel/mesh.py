@@ -89,6 +89,26 @@ class MeshPlan:
     def replicated_sharding(self) -> NamedSharding:
         return NamedSharding(self.mesh, self.replicated_spec)
 
+    @staticmethod
+    def _place(arr: Any, sharding: NamedSharding) -> Any:
+        """Host array -> global device array under ``sharding``.
+
+        Single process: plain ``device_put``. Multi-process: the host array
+        is this process's LOCAL shard (each host's loader yields its own
+        slice — pipeline.build_loader(shard_index=process_index)), so build
+        the global array with ``make_array_from_process_local_data``: local
+        slabs concatenate along process-sharded dims, replicated dims must
+        agree. ``device_put`` would be wrong twice over there — it treats
+        the input as the full global array, and it runs a per-leaf
+        cross-process equality allgather that fails on per-host batches
+        (jax dispatch.py asserts inputs identical across processes).
+        Proven live by tests/test_multiprocess_smoke.py."""
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(arr)
+            )
+        return jax.device_put(arr, sharding)
+
     def shard_batch(self, tree: Any) -> Any:
         """Place a host batch onto the mesh: batch dim over 'data', and —
         when the mesh has a non-trivial 'seq' axis — the frame dim of
@@ -104,14 +124,14 @@ class MeshPlan:
                 and arr.shape[1] % self.seq_axis_size == 0
                 and arr.ndim != 2  # (B, 1) masks stay data-sharded
             ):
-                return jax.device_put(arr, video_sh)
-            return jax.device_put(arr, batch_sh)
+                return self._place(arr, video_sh)
+            return self._place(arr, batch_sh)
 
         return jax.tree.map(place, tree)
 
     def replicate(self, tree: Any) -> Any:
         sharding = self.replicated_sharding()
-        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+        return jax.tree.map(lambda x: self._place(x, sharding), tree)
 
     def set_active(self) -> None:
         """Process-lifetime variant of :meth:`activate` for CLI entry points

@@ -1,0 +1,87 @@
+"""REAL two-process multi-host smoke test — no mocks.
+
+The reference demonstrably trains with two cooperating processes
+(train.py:362-366, scripts/train_quickdraw.sh:33-36: torchrun env://
+rendezvous). tests/test_distributed_wiring.py proves our CLIs *call*
+initialize_multihost; this test proves the call *works*: two live
+subprocesses rendezvous through a real jax.distributed coordinator
+(env-var contract: JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+JAX_PROCESS_ID), form a global 2-process CPU mesh with gloo TCP
+collectives, each feed their local batch shard through
+MeshPlan.shard_batch (make_array_from_process_local_data), and run one
+full tiny train step — forward, on-device Hungarian matching, loss,
+backward with a cross-process gradient all-reduce, optimizer. Both ranks
+must exit 0 with the identical loss.
+
+This caught two real bugs the mocked wiring test could not:
+  * initialize_multihost passed None for num_processes/process_id —
+    jax.distributed.initialize does NOT read those env names itself
+    (raises "Number of processes must be defined");
+  * MeshPlan used device_put for batch placement, which treats the host
+    array as the global batch and runs a per-leaf cross-process equality
+    allgather — wrong for per-host data shards.
+"""
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import pytest
+
+CHILD = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "mh_smoke_child.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _child_env(rank: int, port: int) -> dict:
+    env = dict(os.environ)
+    # the conftest forces 16 virtual devices for the in-process suite; the
+    # children must each expose exactly ONE host device so the global mesh
+    # is genuinely cross-process
+    flags = env.get("XLA_FLAGS", "")
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+    env["XLA_FLAGS"] = flags.strip()
+    env.pop("SVOL_MESH_DEVICES", None)
+    env.update(
+        JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+        JAX_NUM_PROCESSES="2",
+        JAX_PROCESS_ID=str(rank),
+    )
+    return env
+
+
+def test_two_process_train_step():
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, CHILD], env=_child_env(rank, port),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for rank in (0, 1)
+    ]
+    outs = []
+    try:
+        # generous: two concurrent cold train-step compiles on this 1-core
+        # host measured ~6-8 min; warm compile cache finishes in well under 1
+        for p in procs:
+            out, _ = p.communicate(timeout=1400)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    losses = []
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
+        m = re.search(r"MULTIHOST_LOSS ([\d.]+)", out)
+        assert m, f"rank {rank} printed no loss:\n{out[-4000:]}"
+        losses.append(float(m.group(1)))
+    # SPMD: the two ranks computed the SAME global program — identical loss
+    assert losses[0] == losses[1], losses
