@@ -131,10 +131,15 @@ def main(argv=None) -> None:
     ap.add_argument("--bf16", action="store_true",
                     help="shorthand for --quantize none (the bit-accuracy "
                          "reference path)")
+    ap.add_argument("--quantize_attention", action="store_true",
+                    help="with int8: also run the flash QK/PV matmuls on the "
+                         "int8 MXU units (static calibrated q/k/v scales when "
+                         "--calibrated)")
     args = ap.parse_args(argv)
     if args.bf16 or args.quantize == "none":
         args.quantize = None
         args.calibrated = False
+        args.quantize_attention = False
 
     _enable_compile_cache()
     from svol_tpu.models import build_model
@@ -142,6 +147,7 @@ def main(argv=None) -> None:
 
     cfg = _flagship_config()
     cfg.model.quantize = args.quantize
+    cfg.model.quantize_attention = args.quantize_attention
     batch_size = args.batch_size
     n_iters = args.iters
     model = build_model(cfg)
