@@ -17,6 +17,7 @@ svol_tpu/evaluate/device.py for the training-time fast path.
 from __future__ import annotations
 
 import multiprocessing as mp
+import os
 import time
 from collections import OrderedDict, defaultdict
 from functools import partial
@@ -188,6 +189,11 @@ def compute_ap(
     triples = [(g, gts[g], preds[g]) for g in preds]
     worker = partial(_ap_worker, iou_thresholds=iou_thds)
     group2ap: Dict[str, np.ndarray] = {}
+    # Cap the pool at the visible cores: each *spawn* worker pays a full
+    # interpreter + package import (fork deadlocks under JAX's threads), so
+    # on a 1-core host the reference's Pool(8) (eval.py:55-62) is a net
+    # loss; the serial path computes identical values.
+    num_workers = min(num_workers, os.cpu_count() or 1)
     if num_workers > 1:
         # spawn (not fork): JAX runtimes are multithreaded and fork deadlocks
         with mp.get_context("spawn").Pool(num_workers) as pool:
