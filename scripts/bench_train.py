@@ -45,8 +45,9 @@ def measure(batch_size: int = 16, n_iters: int = 10,
 
     cfg = _flagship_config()
     for k, v in (overrides or {}).items():
-        assert hasattr(cfg.model, k), k
-        setattr(cfg.model, k, v)
+        section = next(s for s in (cfg.model, cfg.loss, cfg.data, cfg.train)
+                       if hasattr(s, k))
+        setattr(section, k, v)
     model = build_model(cfg)
     criterion = build_criterion(cfg)
     batch = _sample_batch(cfg, batch_size=batch_size, with_targets=True,
