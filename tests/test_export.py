@@ -1,0 +1,99 @@
+"""Serving export roundtrip: export_model -> load_exported must reproduce
+the live predict path exactly, with the weights baked into the artifact
+(svol_tpu/serving.py). Runs the pure-XLA path (no Pallas) so the artifact is
+platform-portable under the CPU test backend."""
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from svol_tpu.config import DataConfig, ModelConfig, SvolConfig, TrainConfig
+from svol_tpu.models import build_model
+from svol_tpu.serving import export_model, load_exported
+from svol_tpu.train import create_train_state
+from svol_tpu.train.steps import make_predict_fn
+
+T, K, IMG = 4, 3, 48
+
+
+def tiny_cfg(tmp):
+    return SvolConfig(
+        data=DataConfig(num_frames=T, max_boxes_per_frame=K, image_size=IMG),
+        model=ModelConfig(
+            hidden_dim=32, nheads=4, num_layers=2, num_queries=T * K,
+            num_queries_per_frame=K, cmt_dim_feedforward=64,
+            compute_dtype="float32", use_flash_attention=False,
+            use_pallas_attention=False,
+        ),
+        train=TrainConfig(
+            results_dir=os.path.join(tmp, "results"),
+            checkpoint=os.path.join(tmp, "save"),
+            log_dir=os.path.join(tmp, "logs"),
+        ),
+    )
+
+
+def sample_batch(cfg, bs, dtype=np.uint8):
+    rng = np.random.default_rng(0)
+    S = cfg.data.image_size
+    pix = lambda shape: (
+        rng.integers(0, 256, shape, dtype=np.uint8) if dtype == np.uint8
+        else rng.random(shape, dtype=np.float32)
+    )
+    return {
+        "src_sketch": pix((bs, 1, S, S, 3)),
+        "src_video": pix((bs, T, S, S, 3)),
+        "src_sketch_mask": np.ones((bs, 1), np.float32),
+        "src_video_mask": np.ones((bs, T), np.float32),
+    }
+
+
+@pytest.mark.parametrize("pixel_dtype", ["uint8", "float32"])
+def test_export_roundtrip(tmp_path, pixel_dtype):
+    cfg = tiny_cfg(str(tmp_path))
+    model = build_model(cfg)
+    bs = 2
+    np_dtype = np.uint8 if pixel_dtype == "uint8" else np.float32
+    batch = sample_batch(cfg, bs, np_dtype)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+
+    out_dir = export_model(cfg, state, str(tmp_path / "export"),
+                           batch_size=bs, pixel_dtype=pixel_dtype)
+
+    # live predict path (same function the export freezes)
+    variables = {"params": state.params}
+    if state.batch_stats is not None and len(state.batch_stats) > 0:
+        variables["batch_stats"] = state.batch_stats
+    live_scores, live_boxes = make_predict_fn(state.apply_fn)(variables, batch)
+
+    predict, meta = load_exported(out_dir)
+    scores, boxes = predict(batch)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(live_scores),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(boxes), np.asarray(live_boxes),
+                               rtol=0, atol=1e-6)
+    assert scores.shape == (bs, T * K)
+    assert boxes.shape == (bs, T * K, 4)
+
+    # meta describes the signature a serving host needs
+    assert meta["inputs"]["src_video"]["shape"] == [bs, T, IMG, IMG, 3]
+    assert meta["inputs"]["src_video"]["dtype"] == pixel_dtype
+    assert meta["num_queries_per_frame"] == K
+
+    # artifact is self-contained: fresh meta.json on disk matches
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        assert json.load(f) == meta
+
+
+def test_export_rejects_wrong_shape(tmp_path):
+    cfg = tiny_cfg(str(tmp_path))
+    model = build_model(cfg)
+    batch = sample_batch(cfg, 2)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+    out_dir = export_model(cfg, state, str(tmp_path / "export"), batch_size=2)
+    predict, _ = load_exported(out_dir)
+    bad = sample_batch(cfg, 3)  # exported at bs=2: static shapes must reject
+    with pytest.raises(Exception):
+        jax.block_until_ready(predict(bad))
