@@ -87,6 +87,46 @@ def test_export_roundtrip(tmp_path, pixel_dtype):
         assert json.load(f) == meta
 
 
+def test_export_int8_calibrated(tmp_path):
+    """The calibrated static-int8 serving config exports too: the `quant`
+    scales ride in extra_variables and are baked into the artifact — the
+    exported program reproduces the live static-int8 predict path exactly
+    (the headline serving configuration, PERFORMANCE.md)."""
+    from svol_tpu.ops.quant import calibrate_scales
+
+    cfg = tiny_cfg(str(tmp_path))
+    cfg.model.quantize = "int8"
+    model = build_model(cfg)
+    bs = 2
+    batch = sample_batch(cfg, bs, np.float32)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+
+    variables = {"params": state.params}
+    if state.batch_stats is not None and len(state.batch_stats) > 0:
+        variables["batch_stats"] = state.batch_stats
+    quant = calibrate_scales(model, variables, [batch], max_batches=1)
+    assert jax.tree_util.tree_leaves(quant), "calibration collected no scales"
+
+    out_dir = export_model(cfg, state, str(tmp_path / "export"),
+                           batch_size=bs, pixel_dtype="float32",
+                           extra_variables={"quant": quant})
+    # Compare against the *jitted* live path — the exact program the export
+    # froze. (Un-jitted eager int8 differs by whole quant steps: any
+    # ulp-level fusion difference upstream of a round() flips int8 levels
+    # and cascades — measured 4.6e-4 eager-vs-jit on this fixture, while
+    # the serialize/deserialize roundtrip itself is bit-exact.)
+    allvars = {**variables, "quant": quant}
+    live_fn = make_predict_fn(state.apply_fn)
+    live = jax.jit(lambda b: live_fn(allvars, b))(batch)
+
+    predict, meta = load_exported(out_dir)
+    got = predict(batch)
+    for g, l in zip(got, live):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(l),
+                                   rtol=0, atol=0)
+    assert meta["quantize"] == "int8"
+
+
 def test_export_rejects_wrong_shape(tmp_path):
     cfg = tiny_cfg(str(tmp_path))
     model = build_model(cfg)
