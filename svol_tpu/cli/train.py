@@ -80,7 +80,13 @@ def train_val(config: SvolConfig, logger) -> None:
         )
         logger.info(f"resumed from {config.train.resume} at step {int(state.step)}")
 
-    train_step = make_train_step(config, criterion)
+    n_dispatch = config.train.steps_per_dispatch
+    if n_dispatch > 1:
+        from svol_tpu.train.steps import make_multi_train_step
+
+        train_step = make_multi_train_step(config, criterion)
+    else:
+        train_step = make_train_step(config, criterion)
     eval_step = make_eval_step(config, criterion)
     rng = jax.random.PRNGKey(config.train.seed)
 
@@ -111,9 +117,14 @@ def train_val(config: SvolConfig, logger) -> None:
     pending_metrics = []
 
     def drain_metrics():
+        import numpy as np
+
         for m in pending_metrics:
             for k, v in m.items():
-                loss_meters[k].update(float(v))
+                # multi-step dispatch returns (N,)-stacked per-step values;
+                # one host fetch per key, one meter update per sub-step
+                for x in np.asarray(v).reshape(-1):
+                    loss_meters[k].update(float(x))
         pending_metrics.clear()
 
     # double-buffered device input: the NEXT batch's host->device transfer is
@@ -123,25 +134,53 @@ def train_val(config: SvolConfig, logger) -> None:
     # train.py:217) measures only the enqueue of the following batch.
     import itertools
 
-    device_iter = device_prefetch(
-        itertools.chain([first], train_iter),
-        lambda b: plan.shard_batch(dict(b)),
-        size=config.data.prefetch_buffer,
-    )
-    for iter_i in range(max(start_iter, 0), config.train.num_iters):
+    host_iter = itertools.chain([first], train_iter)
+    if n_dispatch > 1:
+        # one dispatch per N steps: stack N host batches on a leading axis;
+        # the scanned program (make_multi_train_step) consumes the stack
+        if max(start_iter, 0) % n_dispatch:
+            raise ValueError(
+                f"start iteration {start_iter} must be divisible by "
+                f"steps_per_dispatch ({n_dispatch}); resume at a group "
+                "boundary or set --start_iter"
+            )
+        import numpy as _np
+
+        def _stacked(it, n):
+            while True:
+                group = [next(it) for _ in range(n)]
+                yield {k: _np.stack([g[k] for g in group]) for k in group[0]}
+
+        device_iter = device_prefetch(
+            _stacked(host_iter, n_dispatch),
+            plan.shard_stacked_batch,
+            size=config.data.prefetch_buffer,
+        )
+    else:
+        device_iter = device_prefetch(
+            host_iter,
+            lambda b: plan.shard_batch(dict(b)),
+            size=config.data.prefetch_buffer,
+        )
+    for group_start in range(
+        max(start_iter, 0), config.train.num_iters, n_dispatch
+    ):
+        iter_i = group_start + n_dispatch - 1  # last iteration in the group
         t0 = time.time()
         device_batch = next(device_iter)
         time_meters["dataloading_time"].update(time.time() - t0)
         time_meters["prepare_inputs_time"].update(0.0)
         tictoc = time.time()
 
-        profile_this = config.train.profile and iter_i == 10
+        profile_this = config.train.profile and group_start <= 10 <= iter_i
         with maybe_trace(config.train.log_dir, enabled=profile_this):
             state, metrics = train_step(state, device_batch, rng)
         pending_metrics.append(metrics)
-        time_meters["model_step_time"].update(time.time() - tictoc)
+        time_meters["model_step_time"].update(
+            (time.time() - tictoc) / n_dispatch
+        )
 
-        if iter_i % config.train.log_interval == 0:
+        if group_start % config.train.log_interval == 0:
             drain_metrics()
             time_stats = "\n".join(
                 f"\t> {k} {v.avg:.4f}" for k, v in time_meters.items()

@@ -160,6 +160,12 @@ class TrainConfig:
     # checkpoint selection / early stopping each val_interval; the full host
     # suite (AP + JSONL) runs only on new bests and at the end of training.
     fast_val: bool = False
+    # Optimizer steps per jit dispatch (train/steps.py::make_multi_train_step):
+    # N>1 scans N stacked batches inside ONE program, amortizing the per-
+    # dispatch launch latency N-fold. Math-identical to N single dispatches
+    # (tests/test_train_loop.py). log/val/save intervals and num_iters must
+    # be divisible by N so boundary actions land between dispatch groups.
+    steps_per_dispatch: int = 1
 
 
 @dataclass
@@ -211,6 +217,24 @@ class SvolConfig:
                 "max_boxes_per_frame must equal num_queries_per_frame "
                 "(per-frame LSAP is square after densification)"
             )
+        n = self.train.steps_per_dispatch
+        if n < 1:
+            raise ValueError("steps_per_dispatch must be >= 1")
+        if n > 1:
+            intervals = {
+                "log_interval": self.train.log_interval,
+                "val_interval": self.train.val_interval,
+                "num_iters": self.train.num_iters,
+            }
+            if self.train.save_interval > 0:
+                intervals["save_interval"] = self.train.save_interval
+            for name, v in intervals.items():
+                if v % n:
+                    raise ValueError(
+                        f"{name} ({v}) must be divisible by "
+                        f"steps_per_dispatch ({n}) so logging/validation/"
+                        "checkpoint boundaries land between dispatch groups"
+                    )
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -319,6 +343,7 @@ _FLAG_MAP = {
     "freeze_backbone": ("train", "freeze_backbone"),
     "profile": ("train", "profile"),
     "fast_val": ("train", "fast_val"),
+    "steps_per_dispatch": ("train", "steps_per_dispatch"),
     "bbox_type": ("eval", "bbox_type"),
     "no_sort_results": ("eval", "no_sort_results"),
     "calibration_batches": ("eval", "calibration_batches"),

@@ -129,6 +129,29 @@ class MeshPlan:
 
         return jax.tree.map(place, tree)
 
+    def shard_stacked_batch(self, tree: Any) -> Any:
+        """Place a (N, B, ...) steps-stacked host batch (train CLI
+        --steps_per_dispatch) onto the mesh: axis 0 is the scan/steps axis
+        (unsharded — each sub-step's data shard lives with its device),
+        batch axis 1 over 'data', and the frame axis 2 of video tensors
+        over 'seq' when that mesh axis is non-trivial. The per-axis logic
+        mirrors shard_batch shifted one axis right."""
+        stacked_batch_sh = NamedSharding(self.mesh, P(None, "data"))
+        stacked_video_sh = NamedSharding(self.mesh, P(None, "data", "seq"))
+
+        def place(x):
+            arr = np.asarray(x) if not hasattr(x, "ndim") else x
+            if (
+                self.seq_axis_size > 1
+                and arr.ndim >= 3
+                and arr.shape[2] % self.seq_axis_size == 0
+                and arr.ndim != 3  # (N, B, 1) masks stay data-sharded
+            ):
+                return self._place(arr, stacked_video_sh)
+            return self._place(arr, stacked_batch_sh)
+
+        return jax.tree.map(place, tree)
+
     def replicate(self, tree: Any) -> Any:
         sharding = self.replicated_sharding()
         return jax.tree.map(lambda x: self._place(x, sharding), tree)

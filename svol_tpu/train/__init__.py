@@ -1,11 +1,17 @@
 from svol_tpu.train.state import TrainState, create_train_state, make_lr_schedule
-from svol_tpu.train.steps import make_eval_step, make_predict_step, make_train_step
+from svol_tpu.train.steps import (
+    make_eval_step,
+    make_multi_train_step,
+    make_predict_step,
+    make_train_step,
+)
 
 __all__ = [
     "TrainState",
     "create_train_state",
     "make_lr_schedule",
     "make_train_step",
+    "make_multi_train_step",
     "make_eval_step",
     "make_predict_step",
 ]

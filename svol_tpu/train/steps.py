@@ -37,42 +37,79 @@ def make_train_step(
     """Returns train_step(state, batch, rng) -> (state, metrics)."""
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
-        rng = jax.random.fold_in(rng, state.step)
-
-        def loss_fn(params):
-            variables = {"params": params}
-            has_bn = state.batch_stats is not None and len(state.batch_stats) > 0
-            if has_bn:
-                variables["batch_stats"] = state.batch_stats
-            outputs, mutated = state.apply_fn(
-                variables,
-                src_sketch=batch["src_sketch"],
-                src_video=batch["src_video"],
-                src_sketch_mask=batch["src_sketch_mask"],
-                src_video_mask=batch["src_video_mask"],
-                train=True,
-                rngs={"dropout": rng},
-                mutable=["batch_stats"] if has_bn else [],
-            )
-            losses = criterion(
-                outputs,
-                {"boxes": batch["boxes"], "box_valid": batch["box_valid"]},
-            )
-            return losses["loss_overall"], (losses, mutated)
-
-        (loss, (losses, mutated)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
-
-        new_state = state.apply_gradients(grads=grads)
-        if "batch_stats" in mutated:
-            new_state = new_state.replace(batch_stats=mutated["batch_stats"])
-
-        metrics = {k: v for k, v in losses.items()}
-        metrics["grad_norm"] = optax_global_norm(grads)
-        return new_state, metrics
+        return _train_step_body(criterion, state, batch, rng)
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_multi_train_step(
+    config: SvolConfig, criterion: SetCriterion, donate: bool = True
+) -> Callable:
+    """multi_step(state, stacked_batch, rng) -> (state, stacked_metrics).
+
+    ``lax.scan`` of the exact single-step body over a leading steps axis of
+    the batch: N optimizer steps execute as ONE jit dispatch. Math-identical
+    to N sequential train_step calls — the per-step dropout RNG is
+    fold_in(rng, state.step) and state.step advances inside the scan, so
+    sub-step k draws the same keys the k-th single dispatch would.
+
+    Why: every dispatch pays host-side launch latency before the program
+    runs (on this environment's tunneled backend that serialization is the
+    dominant per-iteration cost — PERFORMANCE.md "dispatch granularity");
+    scanning N steps amortizes it N-fold while XLA compiles the body once.
+    The reference cannot express this at all: its hot loop leaves the device
+    every step for the scipy matcher (train.py:222-237, matcher.py:86).
+
+    ``stacked_metrics`` leaves have a leading (N,) axis, one entry per
+    sub-step, in execution order.
+    """
+
+    def multi_step(state: TrainState, stacked_batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array):
+        def body(st, batch):
+            return _train_step_body(criterion, st, batch, rng)
+
+        return jax.lax.scan(body, state, stacked_batch)
+
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+
+
+def _train_step_body(criterion: SetCriterion, state: TrainState,
+                     batch: Dict[str, jnp.ndarray], rng: jax.Array):
+    rng = jax.random.fold_in(rng, state.step)
+
+    def loss_fn(params):
+        variables = {"params": params}
+        has_bn = state.batch_stats is not None and len(state.batch_stats) > 0
+        if has_bn:
+            variables["batch_stats"] = state.batch_stats
+        outputs, mutated = state.apply_fn(
+            variables,
+            src_sketch=batch["src_sketch"],
+            src_video=batch["src_video"],
+            src_sketch_mask=batch["src_sketch_mask"],
+            src_video_mask=batch["src_video_mask"],
+            train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"] if has_bn else [],
+        )
+        losses = criterion(
+            outputs,
+            {"boxes": batch["boxes"], "box_valid": batch["box_valid"]},
+        )
+        return losses["loss_overall"], (losses, mutated)
+
+    (loss, (losses, mutated)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+
+    new_state = state.apply_gradients(grads=grads)
+    if "batch_stats" in mutated:
+        new_state = new_state.replace(batch_stats=mutated["batch_stats"])
+
+    metrics = {k: v for k, v in losses.items()}
+    metrics["grad_norm"] = optax_global_norm(grads)
+    return new_state, metrics
 
 
 def optax_global_norm(tree) -> jnp.ndarray:

@@ -79,3 +79,29 @@ def test_train_cli_debug_mode(fixture_root, tmp_path):
     # best checkpoint saved under the reference naming scheme
     saves = os.listdir(tmp_path / "save")
     assert any(s.startswith("best_model_imagenet_vid_sketchy_svanet") for s in saves)
+
+
+def test_train_cli_steps_per_dispatch(fixture_root, tmp_path):
+    """--steps_per_dispatch 2: two scanned 2-step dispatch groups cover
+    num_iters=4; logging/validation/checkpointing land at group boundaries
+    and per-sub-step loss meters drain from the stacked metrics."""
+    r = run_cli(
+        "svol_tpu.cli.train",
+        COMMON(fixture_root, str(tmp_path)) + [
+            "--num_iters", "4", "--steps_per_dispatch", "2",
+            "--val_interval", "2", "--log_interval", "2",
+            "--early_stop_patience", "-1", "--fast_val",
+        ],
+        str(tmp_path),
+        timeout=900,  # compiles the scan-of-2 program cold on 1 CPU core
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics_path = tmp_path / "logs" / "metrics.jsonl"
+    assert metrics_path.exists()
+    rows = [json.loads(l) for l in open(metrics_path)]
+    phases = {row["phase"] for row in rows}
+    assert "train" in phases and "val" in phases
+    # groups end at iters 1 and 3 -> validation fires twice (interval 2)
+    assert sum(1 for row in rows if row["phase"] == "val") == 2
+    saves = os.listdir(tmp_path / "save")
+    assert any(s.startswith("best_model_imagenet_vid_sketchy_svanet") for s in saves)

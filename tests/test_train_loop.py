@@ -204,3 +204,95 @@ def test_checkpoint_roundtrip(fixture_root, tmp_path):
     l2 = jax.tree.leaves(state2.params)
     for a, b in zip(l1, l2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multi_step_dispatch_matches_single_steps(fixture_root, tmp_path):
+    """make_multi_train_step (one scanned N-step dispatch,
+    --steps_per_dispatch) is math-identical to N sequential train_step
+    dispatches: same per-sub-step RNG (fold_in on the advancing state.step),
+    same optimizer/batch-stats trajectory, same per-step metrics.
+
+    Tolerances are chaos-aware, not ulp-tight: the scan body and the
+    single-step program are different XLA compilations that differ at ulp
+    level, and the trajectory amplifies that. With AdamW the first-step
+    update is ~lr*sign(grad), so an ulp-level gradient difference near zero
+    flips a param update from +lr to -lr (measured 2e-4 param delta after
+    ONE step); even with SGD, one forward-backward through the deep
+    BN/attention stack amplifies the resulting ~1e-8 param perturbation to
+    ~2e-4 relative in the next step's grad_norm (measured on this fixture —
+    the same drift arises between any two recompilations of the single
+    step). SGD + rtol 1e-3 on losses / 1e-2 on grad_norm keeps the bugs
+    this test exists for (wrong RNG stream, dropped batch-stats carry,
+    misordered batches) — all percent-scale effects — clearly visible above
+    the compile-noise floor. The same-state single-substep comparison below
+    pins the default adamw path at compile-noise-only tolerance."""
+    from svol_tpu.train.steps import make_multi_train_step
+
+    cfg = make_cfg(fixture_root, str(tmp_path))
+    cfg.train.optimizer = "sgd"
+    model = build_model(cfg)
+    criterion = build_criterion(cfg)
+    it = iter(build_loader(cfg, "train", backend="threads"))
+    batches = [next(it) for _ in range(2)]
+    input_keys = ("src_sketch", "src_video", "src_sketch_mask", "src_video_mask")
+
+    state0 = create_train_state(
+        cfg, model, jax.random.PRNGKey(0),
+        {k: batches[0][k] for k in input_keys},
+    )
+    rng = jax.random.PRNGKey(7)
+
+    single = make_train_step(cfg, criterion, donate=False)
+    state_a = state0
+    singles = []
+    for b in batches:
+        state_a, m = single(state_a, dict(b), rng)
+        singles.append({k: float(v) for k, v in m.items()})
+
+    multi = make_multi_train_step(cfg, criterion, donate=False)
+    stacked = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+    state_b, stacked_metrics = multi(state0, stacked, rng)
+
+    assert int(state_b.step) == int(state_a.step) == 2
+    for i, m in enumerate(singles):
+        for k, v in m.items():
+            tol = 1e-2 if k == "grad_norm" else 1e-3
+            np.testing.assert_allclose(
+                float(np.asarray(stacked_metrics[k])[i]), v,
+                rtol=tol, atol=1e-6, err_msg=f"step {i} metric {k}")
+    flat_a = jax.tree.leaves(state_a.params)
+    flat_b = jax.tree.leaves(state_b.params)
+    for xa, xb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(xb), np.asarray(xa),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_multi_step_dispatch_adamw_same_state(fixture_root, tmp_path):
+    """A scan-of-1 multi-step dispatch from a given adamw state reproduces
+    the single dispatch's metrics from that same state (the full-precision
+    default-optimizer pin; trajectory-level comparison lives in the SGD test
+    above — see its docstring for why adamw trajectories can't be compared
+    across compilations)."""
+    from svol_tpu.train.steps import make_multi_train_step
+
+    cfg = make_cfg(fixture_root, str(tmp_path))
+    model = build_model(cfg)
+    criterion = build_criterion(cfg)
+    it = iter(build_loader(cfg, "train", backend="threads"))
+    batch = next(it)
+    input_keys = ("src_sketch", "src_video", "src_sketch_mask", "src_video_mask")
+    state0 = create_train_state(
+        cfg, model, jax.random.PRNGKey(0),
+        {k: batch[k] for k in input_keys},
+    )
+    rng = jax.random.PRNGKey(7)
+
+    _, m_single = make_train_step(cfg, criterion, donate=False)(
+        state0, dict(batch), rng)
+    stacked = {k: np.stack([v]) for k, v in batch.items()}
+    _, m_multi = make_multi_train_step(cfg, criterion, donate=False)(
+        state0, stacked, rng)
+    for k, v in m_single.items():
+        np.testing.assert_allclose(
+            float(np.asarray(m_multi[k])[0]), float(v),
+            rtol=1e-5, atol=1e-7, err_msg=f"metric {k}")
