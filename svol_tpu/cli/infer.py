@@ -178,16 +178,41 @@ def eval_setup(config: SvolConfig, sample_batch=None):
 
 def main(argv=None) -> None:
     # multi-host bootstrap before any device use (test.py:215-218 equivalent)
+    import argparse
+
     from svol_tpu.parallel.distributed import initialize_multihost
     from svol_tpu.utils.compile_cache import enable_compile_cache
 
     initialize_multihost()
     enable_compile_cache()
-    config = config_from_args(argv)
+    ap = argparse.ArgumentParser(add_help=False)
+    ap.add_argument(
+        "--from_export", default=None,
+        help="serving-artifact directory (cli/export.py): evaluate through "
+        "the frozen StableHLO program — no checkpoint or model code involved")
+    own, rest = ap.parse_known_args(argv)
+    config = config_from_args(rest)
     logger = setup_logger("SVOL_eval", config.train.log_dir,
                           filename=cur_time() + "_eval.txt")
     n_dev = len(jax.devices())
     logger.info(f"devices: {jax.devices()} ({n_dev})")
+
+    if own.from_export:
+        # serving-parity path: the artifact carries the weights; losses are
+        # not computed (predict-only program). JSONL/metrics are identical
+        # to the live path on the same checkpoint (tests/test_export.py).
+        from svol_tpu.serving import make_exported_eval_step
+
+        logger.info(f"evaluating frozen serving artifact {own.from_export}")
+        eval_step = make_exported_eval_step(own.from_export, config)
+        loader = build_loader(config, "test")
+        results_filename = f"{cur_time()}_{config.run_tag('test_export')}.jsonl"
+        metrics, _loss_meters, _paths = inference(
+            config, None, eval_step, loader, results_filename, logger=logger
+        )
+        logger.info(f"metrics {pprint.pformat(metrics['brief'], indent=4)}")
+        return
+
     if not config.train.resume:
         logger.warning("no --resume checkpoint given; evaluating random init")
 

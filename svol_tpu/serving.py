@@ -111,3 +111,53 @@ def load_exported(path: str) -> Tuple[Callable[[Dict[str, Any]], Tuple], Dict]:
     with open(os.path.join(path, META_FILE)) as f:
         meta = json.load(f)
     return jax.jit(exported.call), meta
+
+
+def make_exported_eval_step(path: str, config) -> Callable:
+    """eval_step(state, batch) -> ({}, scores, boxes) over a frozen artifact.
+
+    Adapter so `cli/infer.get_results`'s device loop (and therefore the whole
+    JSONL/metrics pipeline) runs unchanged against an exported StableHLO
+    module: ``state`` is ignored (the weights live inside the artifact) and
+    the loss dict is empty (the artifact is predict-only — losses need the
+    criterion, which is a training/eval-path concern, not a serving one).
+
+    The artifact has a static signature; the loader config must match it:
+    ``eval_bs == batch_size`` (eval loaders pad the tail batch to exactly
+    this — data/pipeline.pad_to_batch), same num_frames/image_size. uint8
+    loader pixels are accepted by a float32-traced artifact via an exact
+    host-side x/255 (the same normalization the uint8-traced program applies
+    on device, models/model.py:117-123); any other dtype mismatch raises.
+    """
+    predict, meta = load_exported(path)
+    for name, got, want in (
+        ("eval_bs", config.data.eval_bs, meta["batch_size"]),
+        ("num_frames", config.data.num_frames, meta["num_frames"]),
+        ("image_size", config.data.image_size, meta["image_size"]),
+        ("num_queries_per_frame", config.model.num_queries_per_frame,
+         meta["num_queries_per_frame"]),
+    ):
+        if got != want:
+            raise ValueError(
+                f"exported artifact expects {name}={want}, config has {got} "
+                f"(artifact signature is static: {meta['inputs']})"
+            )
+    specs = {k: np.dtype(v["dtype"]) for k, v in meta["inputs"].items()}
+
+    def eval_step(_state, batch: Dict[str, Any]):
+        inputs = {}
+        for k, want_dt in specs.items():
+            arr = np.asarray(batch[k])
+            if arr.dtype != want_dt:
+                if arr.dtype == np.uint8 and want_dt == np.float32:
+                    arr = arr.astype(np.float32) / np.float32(255.0)
+                else:
+                    raise ValueError(
+                        f"{k}: loader yields {arr.dtype}, artifact traced "
+                        f"with {want_dt} (lossy conversion refused)"
+                    )
+            inputs[k] = arr
+        scores, boxes = predict(inputs)
+        return {}, scores, boxes
+
+    return eval_step

@@ -105,3 +105,39 @@ def test_train_cli_steps_per_dispatch(fixture_root, tmp_path):
     assert sum(1 for row in rows if row["phase"] == "val") == 2
     saves = os.listdir(tmp_path / "save")
     assert any(s.startswith("best_model_imagenet_vid_sketchy_svanet") for s in saves)
+
+
+def test_infer_cli_from_export(fixture_root, tmp_path):
+    """Serving loop closed at the CLI surface: export a (seed-deterministic)
+    model, then evaluate THROUGH the frozen artifact with
+    `infer --from_export` — no checkpoint or model code on the eval side.
+    Row/metric parity vs the live path is proven in-process
+    (tests/test_export.py::test_exported_eval_step_row_parity)."""
+    export_dir = os.path.join(str(tmp_path), "artifact")
+    r = run_cli(
+        "svol_tpu.cli.export",
+        COMMON(fixture_root, str(tmp_path)) + [
+            "--export_dir", export_dir, "--export_bs", "4",
+            "--export_pixels", "uint8",
+        ],
+        str(tmp_path),
+        timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(export_dir, "exported.stablehlo"))
+
+    r = run_cli(
+        "svol_tpu.cli.infer",
+        COMMON(fixture_root, str(tmp_path)) + [
+            "--from_export", export_dir, "--debug",
+        ],
+        str(tmp_path),
+        timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    results = os.listdir(tmp_path / "results")
+    metrics_files = [f for f in results if f.endswith("_metrics.json")]
+    assert metrics_files, results
+    with open(tmp_path / "results" / metrics_files[0]) as f:
+        metrics = json.load(f)
+    assert "SVOL-full-mIoU@R1" in metrics["brief"]

@@ -137,3 +137,69 @@ def test_export_rejects_wrong_shape(tmp_path):
     bad = sample_batch(cfg, 3)  # exported at bs=2: static shapes must reject
     with pytest.raises(Exception):
         jax.block_until_ready(predict(bad))
+
+
+def test_exported_eval_step_row_parity(tmp_path):
+    """The full JSONL assembly through make_exported_eval_step produces the
+    same rows as the live eval path on the same weights: the serving
+    artifact is metric-equivalent, not just tensor-equivalent. Also covers
+    the uint8-loader -> float32-artifact pixel conversion (exact /255)."""
+    from svol_tpu.cli.infer import get_results
+    from svol_tpu.losses.criterion import build_criterion
+    from svol_tpu.serving import make_exported_eval_step
+    from svol_tpu.train.steps import make_eval_step
+
+    cfg = tiny_cfg(str(tmp_path))
+    bs = 2
+    cfg.data.eval_bs = bs
+    model = build_model(cfg)
+    criterion = build_criterion(cfg)
+    batch = sample_batch(cfg, bs, np.uint8)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+
+    rng = np.random.default_rng(1)
+    targets = {
+        "boxes": np.clip(rng.random((bs, T, K, 4), np.float32), 0.1, 0.4),
+        "box_valid": rng.random((bs, T, K)) > 0.5,
+    }
+    meta = [
+        {"video": f"v{b}", "sketch": "sk", "size": [64, 64],
+         "frame_keys": list(range(T)), "track_ids": [[0] * K] * T}
+        for b in range(bs)
+    ]
+    loader = [(batch, {"targets": targets, "meta": meta, "n_real": bs})]
+
+    live_rows, live_meters = get_results(
+        state, make_eval_step(cfg, criterion), loader, T)
+
+    # float32 artifact + uint8 loader exercises the /255 conversion path
+    out_dir = export_model(cfg, state, str(tmp_path / "export"),
+                           batch_size=bs, pixel_dtype="float32")
+    exported_rows, meters = get_results(
+        None, make_exported_eval_step(str(tmp_path / "export"), cfg), loader, T)
+
+    assert not meters  # predict-only artifact: no loss meters
+    assert live_meters  # the live path does produce them
+    assert len(exported_rows) == len(live_rows) > 0
+    for er, lr in zip(exported_rows, live_rows):
+        assert er["video"] == lr["video"] and er["frame"] == lr["frame"]
+        assert er["gt_boxes"] == lr["gt_boxes"]
+        np.testing.assert_allclose(
+            np.asarray(er["pred_boxes"]), np.asarray(lr["pred_boxes"]),
+            atol=2e-4,  # 4-decimal rounding granularity + compile noise
+        )
+
+
+def test_exported_eval_step_rejects_mismatch(tmp_path):
+    from svol_tpu.serving import make_exported_eval_step
+
+    cfg = tiny_cfg(str(tmp_path))
+    model = build_model(cfg)
+    bs = 2
+    batch = sample_batch(cfg, bs, np.uint8)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+    out_dir = export_model(cfg, state, str(tmp_path / "export"), batch_size=bs)
+
+    cfg.data.eval_bs = bs + 1
+    with pytest.raises(ValueError, match="eval_bs"):
+        make_exported_eval_step(out_dir, cfg)
