@@ -81,10 +81,15 @@ def train_val(config: SvolConfig, logger) -> None:
         logger.info(f"resumed from {config.train.resume} at step {int(state.step)}")
 
     n_dispatch = config.train.steps_per_dispatch
+    n_accum = config.train.accum_steps  # mutually exclusive (config.validate)
     if n_dispatch > 1:
         from svol_tpu.train.steps import make_multi_train_step
 
         train_step = make_multi_train_step(config, criterion)
+    elif n_accum > 1:
+        from svol_tpu.train.steps import make_accum_train_step
+
+        train_step = make_accum_train_step(config, criterion, n_accum)
     else:
         train_step = make_train_step(config, criterion)
     eval_step = make_eval_step(config, criterion)
@@ -135,10 +140,12 @@ def train_val(config: SvolConfig, logger) -> None:
     import itertools
 
     host_iter = itertools.chain([first], train_iter)
-    if n_dispatch > 1:
-        # one dispatch per N steps: stack N host batches on a leading axis;
-        # the scanned program (make_multi_train_step) consumes the stack
-        if max(start_iter, 0) % n_dispatch:
+    stack_n = n_dispatch if n_dispatch > 1 else n_accum
+    if stack_n > 1:
+        # stack N host batches on a leading axis for the scanned programs:
+        # steps_per_dispatch consumes them as N optimizer steps, accum_steps
+        # as N micro-batch gradients of ONE optimizer step
+        if n_dispatch > 1 and max(start_iter, 0) % n_dispatch:
             raise ValueError(
                 f"start iteration {start_iter} must be divisible by "
                 f"steps_per_dispatch ({n_dispatch}); resume at a group "
@@ -152,7 +159,7 @@ def train_val(config: SvolConfig, logger) -> None:
                 yield {k: _np.stack([g[k] for g in group]) for k in group[0]}
 
         device_iter = device_prefetch(
-            _stacked(host_iter, n_dispatch),
+            _stacked(host_iter, stack_n),
             plan.shard_stacked_batch,
             size=config.data.prefetch_buffer,
         )

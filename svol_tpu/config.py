@@ -166,6 +166,13 @@ class TrainConfig:
     # (tests/test_train_loop.py). log/val/save intervals and num_iters must
     # be divisible by N so boundary actions land between dispatch groups.
     steps_per_dispatch: int = 1
+    # Gradient accumulation (train/steps.py::make_accum_train_step): each
+    # iteration takes ONE optimizer step from the mean of K micro-batch
+    # gradients (each micro-batch is --bs examples -> effective batch
+    # bs*K), with only one micro-batch's activations live at a time.
+    # DDP-rank semantics (per-micro loss normalization / dropout / BN).
+    # Mutually exclusive with steps_per_dispatch>1.
+    accum_steps: int = 1
 
 
 @dataclass
@@ -217,9 +224,16 @@ class SvolConfig:
                 "max_boxes_per_frame must equal num_queries_per_frame "
                 "(per-frame LSAP is square after densification)"
             )
+        if self.train.accum_steps < 1:
+            raise ValueError("accum_steps must be >= 1")
         n = self.train.steps_per_dispatch
         if n < 1:
             raise ValueError("steps_per_dispatch must be >= 1")
+        if n > 1 and self.train.accum_steps > 1:
+            raise ValueError(
+                "steps_per_dispatch and accum_steps are mutually exclusive "
+                "(both restructure the per-dispatch batch stacking)"
+            )
         if n > 1:
             intervals = {
                 "log_interval": self.train.log_interval,
@@ -344,6 +358,7 @@ _FLAG_MAP = {
     "profile": ("train", "profile"),
     "fast_val": ("train", "fast_val"),
     "steps_per_dispatch": ("train", "steps_per_dispatch"),
+    "accum_steps": ("train", "accum_steps"),
     "bbox_type": ("eval", "bbox_type"),
     "no_sort_results": ("eval", "no_sort_results"),
     "calibration_batches": ("eval", "calibration_batches"),

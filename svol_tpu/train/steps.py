@@ -74,6 +74,85 @@ def make_multi_train_step(
     return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
 
 
+def make_accum_train_step(
+    config: SvolConfig, criterion: SetCriterion, accum_steps: int,
+    donate: bool = True,
+) -> Callable:
+    """accum_step(state, stacked_batch, rng) -> (state, metrics).
+
+    ONE optimizer step from the mean of ``accum_steps`` micro-batch
+    gradients, all evaluated at the same parameters (``lax.scan`` carrying
+    the accumulator) — gradient accumulation for effective batches beyond
+    device memory: only one micro-batch's activations are live at a time,
+    at the cost of ``accum_steps`` sequential forwards/backwards.
+
+    Semantics mirror K torch-DDP ranks each holding one micro-batch (the
+    reference's actual distributed recipe: train.py:362-366 + its gradient
+    all-reduce mean): loss normalization is micro-batch-local (matched-count
+    denominators are per-rank there too), each micro-batch gets its own
+    dropout stream, and BatchNorm normalizes per micro-batch and updates its
+    running stats per micro-batch (torch DDP without sync_bn behaves the
+    same per rank). This intentionally differs from one big mesh batch,
+    where BN reduces over the global batch (README "Sync BatchNorm for
+    free").
+
+    ``metrics`` are micro-batch means; ``grad_norm`` is the norm of the
+    accumulated (mean) gradient — the tensor the optimizer consumes.
+    """
+
+    def accum_step(state: TrainState, stacked_batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array):
+        base_rng = jax.random.fold_in(rng, state.step)
+        has_bn = state.batch_stats is not None and len(state.batch_stats) > 0
+
+        def loss_fn(params, batch_stats, batch, k):
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = batch_stats
+            outputs, mutated = state.apply_fn(
+                variables,
+                src_sketch=batch["src_sketch"],
+                src_video=batch["src_video"],
+                src_sketch_mask=batch["src_sketch_mask"],
+                src_video_mask=batch["src_video_mask"],
+                train=True,
+                rngs={"dropout": jax.random.fold_in(base_rng, k)},
+                mutable=["batch_stats"] if has_bn else [],
+            )
+            losses = criterion(
+                outputs,
+                {"boxes": batch["boxes"], "box_valid": batch["box_valid"]},
+            )
+            return losses["loss_overall"], (losses, mutated)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+
+        def body(carry, inp):
+            acc, batch_stats = carry
+            k, batch = inp
+            (_, (losses, mutated)), grads = grad_fn(
+                state.params, batch_stats, batch, k)
+            acc = jax.tree.map(jnp.add, acc, grads)
+            if has_bn:
+                batch_stats = mutated["batch_stats"]
+            return (acc, batch_stats), losses
+
+        (acc, batch_stats), losses_stacked = jax.lax.scan(
+            body, (zeros, state.batch_stats),
+            (jnp.arange(accum_steps), stacked_batch),
+        )
+        grads = jax.tree.map(lambda g: g / accum_steps, acc)
+        new_state = state.apply_gradients(grads=grads)
+        if has_bn:
+            new_state = new_state.replace(batch_stats=batch_stats)
+        metrics = {k: v.mean() for k, v in losses_stacked.items()}
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(accum_step, donate_argnums=(0,) if donate else ())
+
+
 def _train_step_body(criterion: SetCriterion, state: TrainState,
                      batch: Dict[str, jnp.ndarray], rng: jax.Array):
     rng = jax.random.fold_in(rng, state.step)

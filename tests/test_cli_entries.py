@@ -4,6 +4,8 @@ results/checkpoint writing."""
 import json
 import os
 import subprocess
+
+import numpy as np
 import sys
 
 import pytest
@@ -141,3 +143,24 @@ def test_infer_cli_from_export(fixture_root, tmp_path):
     with open(tmp_path / "results" / metrics_files[0]) as f:
         metrics = json.load(f)
     assert "SVOL-full-mIoU@R1" in metrics["brief"]
+
+
+def test_train_cli_accum_steps(fixture_root, tmp_path):
+    """--accum_steps 2: each iteration takes one optimizer step from two
+    stacked micro-batches (effective batch 2x --bs)."""
+    r = run_cli(
+        "svol_tpu.cli.train",
+        COMMON(fixture_root, str(tmp_path)) + [
+            "--debug", "--num_iters", "2", "--val_interval", "1",
+            "--log_interval", "1", "--early_stop_patience", "-1",
+            "--fast_val", "--accum_steps", "2",
+        ],
+        str(tmp_path),
+        timeout=900,  # compiles the accumulation scan cold on 1 CPU core
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics_path = tmp_path / "logs" / "metrics.jsonl"
+    assert metrics_path.exists()
+    rows = [json.loads(l) for l in open(metrics_path)]
+    train_rows = [row for row in rows if row["phase"] == "train"]
+    assert train_rows and np.isfinite(train_rows[0]["loss_overall"])

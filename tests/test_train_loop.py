@@ -296,3 +296,51 @@ def test_multi_step_dispatch_adamw_same_state(fixture_root, tmp_path):
         np.testing.assert_allclose(
             float(np.asarray(m_multi[k])[0]), float(v),
             rtol=1e-5, atol=1e-7, err_msg=f"metric {k}")
+
+
+def test_accum_step_matches_mean_of_micro_grads(fixture_root, tmp_path):
+    """make_accum_train_step (--accum_steps): one optimizer step from the
+    MEAN of K micro-batch gradients, all at the same params. With SGD the
+    first update is linear in the gradient, so the accumulated step's
+    params must equal the elementwise mean of the K independent single-step
+    results from the same initial state — an exact decomposition identity
+    (dropout off so the single-step and per-micro RNG streams are moot).
+    Micro-batch losses must surface as the metric means."""
+    from svol_tpu.train.steps import make_accum_train_step
+
+    cfg = make_cfg(fixture_root, str(tmp_path))
+    cfg.train.optimizer = "sgd"
+    cfg.model.dropout = 0.0
+    cfg.model.input_dropout = 0.0
+    model = build_model(cfg)
+    criterion = build_criterion(cfg)
+    it = iter(build_loader(cfg, "train", backend="threads"))
+    batches = [next(it) for _ in range(2)]
+    input_keys = ("src_sketch", "src_video", "src_sketch_mask", "src_video_mask")
+    state0 = create_train_state(
+        cfg, model, jax.random.PRNGKey(0),
+        {k: batches[0][k] for k in input_keys},
+    )
+    rng = jax.random.PRNGKey(7)
+
+    single = make_train_step(cfg, criterion, donate=False)
+    micro_params, micro_losses = [], []
+    for b in batches:
+        st, m = single(state0, dict(b), rng)
+        micro_params.append(st.params)
+        micro_losses.append(float(m["loss_overall"]))
+
+    accum = make_accum_train_step(cfg, criterion, accum_steps=2, donate=False)
+    stacked = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+    state_acc, metrics = accum(state0, stacked, rng)
+
+    assert int(state_acc.step) == 1  # ONE optimizer step from 2 micro-batches
+    np.testing.assert_allclose(
+        float(metrics["loss_overall"]), np.mean(micro_losses), rtol=1e-5)
+    mean_params = jax.tree.map(
+        lambda a, b: (np.asarray(a, np.float64) + np.asarray(b, np.float64)) / 2,
+        micro_params[0], micro_params[1])
+    for got, want in zip(jax.tree.leaves(state_acc.params),
+                         jax.tree.leaves(mean_params)):
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-6, atol=1e-7)
