@@ -101,9 +101,7 @@ def with_input_fps(predict, variables, cfg, batch_size: int, n_iters: int) -> fl
     return batch_size * T / best_dt
 
 
-def main(argv=None) -> None:
-    import argparse
-
+def _measure(args) -> dict:
     import jax
 
     from __graft_entry__ import (
@@ -112,8 +110,6 @@ def main(argv=None) -> None:
         _sample_batch,
         init_variables,
     )
-
-    ap = argparse.ArgumentParser()
     ap.add_argument("--with-input", action="store_true",
                     help="include uint8 host->device transfer + normalize in "
                          "the timed loop (end-to-end companion number)")
@@ -131,16 +127,6 @@ def main(argv=None) -> None:
     ap.add_argument("--bf16", action="store_true",
                     help="shorthand for --quantize none (the bit-accuracy "
                          "reference path)")
-    ap.add_argument("--quantize_attention", action="store_true",
-                    help="with int8: also run the flash QK/PV matmuls on the "
-                         "int8 MXU units (static calibrated q/k/v scales when "
-                         "--calibrated)")
-    args = ap.parse_args(argv)
-    if args.bf16 or args.quantize == "none":
-        args.quantize = None
-        args.calibrated = False
-        args.quantize_attention = False
-
     _enable_compile_cache()
     from svol_tpu.models import build_model
     from svol_tpu.train.steps import make_predict_fn
@@ -181,12 +167,66 @@ def main(argv=None) -> None:
         fps = batch_size * cfg.data.num_frames / best_dt
         metric = "inference_throughput"
 
-    print(json.dumps({
+    return {
         "metric": metric,
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }))
+    }
+
+
+def main(argv=None) -> None:
+    import argparse
+    import sys
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--with-input", action="store_true",
+                    help="include uint8 host->device transfer + normalize in "
+                         "the timed loop (end-to-end companion number)")
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--quantize", default="int8", choices=["int8", "none"],
+                    help="int8 = the serving path (ops/quant.py); none = the "
+                         "exact bf16 path. Default int8 (accuracy measured at "
+                         "parity — PERFORMANCE.md)")
+    ap.add_argument("--calibrated", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="with int8: static activation scales from a "
+                         "calibration pass (fastest serving configuration); "
+                         "--no-calibrated uses dynamic per-tensor scales")
+    ap.add_argument("--bf16", action="store_true",
+                    help="shorthand for --quantize none (the bit-accuracy "
+                         "reference path)")
+    ap.add_argument("--quantize_attention", action="store_true",
+                    help="with int8: also run the flash QK/PV matmuls on the "
+                         "int8 MXU units (static calibrated q/k/v scales when "
+                         "--calibrated)")
+    ap.add_argument("--attempts", type=int, default=3,
+                    help="retries on failure: this environment's TPU worker "
+                         "can crash transiently and recover (CLAUDE.md)")
+    args = ap.parse_args(argv)
+    if args.bf16 or args.quantize == "none":
+        args.quantize = None
+        args.calibrated = False
+        args.quantize_attention = False
+
+    # The tunneled TPU worker can crash mid-program and recover a minute
+    # later (PERFORMANCE.md, CLAUDE.md); one JSON line on stdout either way,
+    # diagnostics on stderr.
+    last = None
+    for attempt in range(max(1, args.attempts)):
+        try:
+            out = _measure(args)
+            break
+        except Exception as e:  # noqa: BLE001 — any backend fault retries
+            last = e
+            print(f"bench attempt {attempt + 1} failed: {e!r}; retrying in "
+                  "60 s (transient TPU worker crashes recover on retry)",
+                  file=sys.stderr, flush=True)
+            time.sleep(60)
+    else:
+        raise last
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
