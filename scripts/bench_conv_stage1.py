@@ -27,7 +27,10 @@ def main(frames: int = 256, n_iters: int = 30) -> None:
     import numpy as np
     from jax import lax
 
-    from svol_tpu.ops.pallas.packed_conv import packed_conv3x3
+    from svol_tpu.ops.pallas.packed_conv import (
+        packed_conv3x3,
+        packed_conv3x3_xla,
+    )
 
     H = W = 56
     C = F = 64
@@ -57,9 +60,20 @@ def main(frames: int = 256, n_iters: int = 30) -> None:
 
         return run
 
-    for name, conv in (("xla", xla_conv), ("packed_pallas", packed_conv3x3)):
+    impls = (
+        ("xla", xla_conv),
+        ("packed_xla", packed_conv3x3_xla),
+        ("packed_pallas", packed_conv3x3),  # does not lower on this Mosaic
+    )
+    for name, conv in impls:
         run = chained(conv)
-        float(run(x, w))  # compile + warm
+        try:
+            float(run(x, w))  # compile + warm
+        except Exception as e:  # the Pallas variant: Mosaic lowering gap
+            print(f"{name}: FAILED to compile "
+                  f"({type(e).__name__}: {str(e).splitlines()[0][:100]})",
+                  flush=True)
+            continue
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()

@@ -13,7 +13,12 @@ assignment problems per step (final + aux matcher). Implementations
 Chained in-program iterations; scalar fetch as the completion barrier
 (block_until_ready is unreliable on this backend — CLAUDE.md).
 
-    python scripts/bench_lsap.py [width=512] [iters=20]
+    python scripts/bench_lsap.py [width=512] [iters=20] [only=dense_xla]
+
+``only=`` restricts to one impl (comma-separable). Needed to probe widths
+beyond 512: the vmapped JV while-loop at width 1024 reproducibly crashes
+this environment's TPU worker (PERFORMANCE.md merged-matcher root cause),
+so the dense formulation must be measured there on its own.
 """
 from __future__ import annotations
 
@@ -25,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/svol_tpu_cache")
 
 
-def main(width: int = 512, n_iters: int = 20) -> None:
+def main(width: int = 512, n_iters: int = 20, only: str = "") -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -44,6 +49,10 @@ def main(width: int = 512, n_iters: int = 20) -> None:
         "dense_xla": H._solve_dense,
         "pallas": lambda c: H._solve_dense_pallas(c),
     }
+    if only:
+        keep = set(only.split(","))
+        impls = {k: v for k, v in impls.items() if k in keep}
+        assert impls, f"only={only!r} matched nothing"
 
     outs = {}
     for name, solve in impls.items():
@@ -65,15 +74,20 @@ def main(width: int = 512, n_iters: int = 20) -> None:
         print(f"{name}: {best * 1e6:.0f} us / {width}-wide solve", flush=True)
         outs[name] = np.asarray(jax.jit(solve)(cost))
 
-    ref = outs["vmap_while"]
+    ref_name = next(iter(outs))
+    ref = outs[ref_name]
     for name, out in outs.items():
-        assert (out == ref).all(), f"{name} diverges from vmap_while"
-    print("all impls assignment-identical")
+        assert (out == ref).all(), f"{name} diverges from {ref_name}"
+    if len(outs) > 1:
+        print("all impls assignment-identical")
 
 
 if __name__ == "__main__":
     kw = {}
     for arg in sys.argv[1:]:
         k, v = arg.split("=")
-        kw[{"width": "width", "iters": "n_iters"}[k]] = int(v)
+        if k == "only":
+            kw["only"] = v
+        else:
+            kw[{"width": "width", "iters": "n_iters"}[k]] = int(v)
     main(**kw)

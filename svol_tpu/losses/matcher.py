@@ -146,10 +146,15 @@ def match_per_frame_stacked(
     (L*B*T)-wide solve — same assignments, fewer sequential while-loop
     programs. Returns MatchResult with leading (L, B, ...) axes.
 
-    Opt-in via ``--merged_matcher``: round 1 measured the merged solve at
-    about half the matching time, but compiling it into the full train step
-    reproducibly crashed THIS environment's tunneled TPU worker
-    (PERFORMANCE.md); scripts/repro_wide_matcher.py isolates the trigger.
+    Opt-in via ``--merged_matcher``. History: with the old vmapped-JV
+    solver the merged 1024-wide solve reproducibly crashed this
+    environment's tunneled TPU worker (scripts/repro_wide_matcher.py
+    isolates the trigger). The dense-batched solver (round 3, the default)
+    removed that program shape and the crash with it; the merged step now
+    measures identical to unmerged (124.8 vs 124.6 ms/step — PERFORMANCE.md
+    "Merged matcher, round-3 re-measurement"), because the dense solver
+    already shrank total matching to ~3 ms/step. Kept as a scheduling
+    variant, no longer a crash risk.
     """
     L = all_logits.shape[0]
     B, T, K, _ = tgt_boxes.shape

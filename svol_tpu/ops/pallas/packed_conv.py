@@ -19,11 +19,23 @@ Formulation (implicit GEMM, one frame per grid step):
     matmul).
 
 Exact math: float32 accumulation of the same 576 MACs per output element;
-``packed_conv3x3`` reproduces ``lax.conv_general_dilated`` up to dtype
+both entry points reproduce ``lax.conv_general_dilated`` up to dtype
 rounding (tests/test_packed_conv.py). Measured verdict on the chip lives in
-PERFORMANCE.md (scripts/bench_conv_stage1.py) — built as an experiment
-behind ``--stage1_packed_conv``; reference conv topology:
+PERFORMANCE.md (scripts/bench_conv_stage1.py); reference conv topology:
 lib/modeling/backbone.py:72-89 (torchvision resnet34 layer1).
+
+Two implementations of the same formulation:
+
+* ``packed_conv3x3`` — fused Pallas kernel (packing + matmul in VMEM).
+  Does NOT lower on this jaxlib's Mosaic: the in-kernel lane-concatenate of
+  three shifted views carries mismatched (sublane, lane) vpad offsets and
+  trips "Not implemented: result/input offset mismatch on non-concat
+  dimension". Kept for newer toolchains (same status as the Pallas LSAP,
+  ops/hungarian.py).
+* ``packed_conv3x3_xla`` — identical math as plain XLA ops: the packed
+  (N, H, W/2, 12C) operand is built with pads/slices/concats (pure data
+  movement XLA fuses) feeding ONE dot_general. This is the measurable
+  variant on today's toolchain.
 """
 from __future__ import annotations
 
@@ -78,6 +90,42 @@ def build_packed_kernel(w: Array) -> Array:
         ]
         blocks.append(jnp.concatenate(slot, axis=0))  # (4C, 2F)
     return jnp.concatenate(blocks, axis=0)  # (12C, 2F)
+
+
+def _packed_operand(xp: Array, H: int, Wp: int, C: int) -> Array:
+    """(N, H+2, Wp+2, 2C) halo-padded packed input -> (N, H, Wp, 12C)
+    stacked column-group operand (the kernel's VMEM build, as XLA ops)."""
+    groups = []
+    for di in range(3):
+        rows = xp[:, di:di + H]  # (N, H, Wp+2, 2C)
+        left = rows[:, :, 0:Wp, C:]          # (jp-1, odd)
+        center = rows[:, :, 1:Wp + 1, :]     # (jp, even+odd)
+        right = rows[:, :, 2:Wp + 2, :C]     # (jp+1, even)
+        groups.append(jnp.concatenate([left, center, right], axis=-1))
+    return jnp.concatenate(groups, axis=-1)  # (N, H, Wp, 12C)
+
+
+def packed_conv3x3_xla(x: Array, w: Array) -> Array:
+    """The W-pair-packed conv as plain XLA: packed operand built from
+    pads/slices/concats, then ONE (N*H*W/2, 12C) x (12C, 2F) dot_general.
+
+    Same 576 f32-accumulated MACs per output element as the Pallas kernel
+    and the XLA conv; requires even W. Output dtype follows ``x``.
+    """
+    N, H, W, C = x.shape
+    F = w.shape[-1]
+    assert W % 2 == 0, W
+    Wp = W // 2
+    xp = jnp.pad(pack_w_pairs(x), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xs = _packed_operand(xp, H, Wp, C)
+    wk = build_packed_kernel(w).astype(x.dtype)  # (12C, 2F)
+    acc = jax.lax.dot_general(
+        xs.reshape(N * H * Wp, 12 * C), wk,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out = acc.reshape(N, H, Wp, 2 * F).astype(x.dtype)
+    return unpack_w_pairs(out)
 
 
 def _kernel(x_ref, w_ref, o_ref, *, H: int, Wp: int, C: int):

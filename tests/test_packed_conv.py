@@ -11,6 +11,7 @@ from svol_tpu.ops.pallas.packed_conv import (
     build_packed_kernel,
     pack_w_pairs,
     packed_conv3x3,
+    packed_conv3x3_xla,
     unpack_w_pairs,
 )
 
@@ -34,17 +35,18 @@ def test_pack_roundtrip(rng):
                                   np.asarray(x))
 
 
+@pytest.mark.parametrize("impl", [packed_conv3x3, packed_conv3x3_xla])
 @pytest.mark.parametrize("shape", [
     (2, 8, 8, 16, 16),    # small square
     (1, 6, 12, 8, 24),    # rectangular, C != F
     (3, 14, 14, 32, 32),  # stage-2-ish
 ])
-def test_packed_conv_matches_xla_f32(rng, shape):
+def test_packed_conv_matches_xla_f32(rng, shape, impl):
     N, H, W, C, F = shape
     x = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.float32)
     w = jnp.asarray(rng.standard_normal((3, 3, C, F)) * 0.1, jnp.float32)
     ref = xla_conv(x, w)
-    out = packed_conv3x3(x, w)
+    out = impl(x, w)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
 
