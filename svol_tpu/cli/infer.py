@@ -91,13 +91,22 @@ def get_results(
     num_frames: int,
     sort_results: bool = True,
     debug: bool = False,
+    plan=None,
 ) -> Tuple[List[Dict[str, Any]], Dict[str, AverageMeter]]:
-    """Device loop + host assembly (test.py:113-175)."""
+    """Device loop + host assembly (test.py:113-175).
+
+    ``plan`` (a parallel.MeshPlan) makes evaluation data-parallel: each
+    padded batch shards over the mesh's 'data' axis (pad_to_batch keeps the
+    executable shape fixed, so eval_bs must divide by the data axis — the
+    caller checks). The reference evaluates on one GPU only (test.py:60).
+    """
     loss_meters: Dict[str, AverageMeter] = defaultdict(AverageMeter)
     results: List[Dict[str, Any]] = []
     for batch, extra in loader:
         device_batch = dict(batch)
         device_batch.update(extra["targets"])
+        if plan is not None:
+            device_batch = plan.shard_batch(device_batch)
         losses, scores, boxes = eval_step(state, device_batch)
         # losses are per-example (B,) — a padded tail batch (pad_to_batch
         # replicates the last real example) keeps the executable shape fixed;
@@ -124,6 +133,7 @@ def inference(
     loader,
     results_filename: str,
     logger=None,
+    plan=None,
 ):
     """Run eval, persist JSONL + metrics JSON (test.py:178-191).
 
@@ -137,6 +147,7 @@ def inference(
         state, eval_step, loader, config.data.num_frames,
         sort_results=not config.eval.no_sort_results,
         debug=config.train.debug,
+        plan=plan,
     )
     if config.eval.no_sort_results:
         results_filename = results_filename.replace(".jsonl", "_unsorted.jsonl")
@@ -237,12 +248,39 @@ def main(argv=None) -> None:
         finally:
             calib_batches.close()
         extra_variables = {"quant": quant}
+
+    # data-parallel evaluation: shard each padded batch over the mesh's
+    # 'data' axis (pad_to_batch keeps shapes fixed, so the only requirement
+    # is divisibility). One device -> a trivial mesh, same program as before.
+    # The reference evaluates on a single GPU only (test.py:60).
+    from svol_tpu.parallel import make_mesh_plan
+
+    plan = make_mesh_plan(
+        config.train.dp_devices,
+        seq_axis=config.train.sp_devices,
+        model_axis=config.train.tp_devices,
+    )
+    if config.data.eval_bs % plan.data_axis_size == 0:
+        state = plan.replicate(state)
+        plan.set_active()  # in-model seq/tensor constraints target this mesh
+        logger.info(
+            f"eval mesh: data={plan.data_axis_size}, "
+            f"seq={plan.seq_axis_size}, model={plan.model_axis_size}"
+        )
+    else:
+        logger.info(
+            f"eval_bs {config.data.eval_bs} not divisible by the "
+            f"{plan.data_axis_size}-way data axis; evaluating single-device"
+        )
+        plan = None
+
     eval_step = make_eval_step(config, criterion, extra_variables=extra_variables)
     loader = build_loader(config, "test")
     results_filename = f"{cur_time()}_{config.run_tag('test')}.jsonl"
     logger.info("Start inference...")
     metrics, loss_meters, paths = inference(
-        config, state, eval_step, loader, results_filename, logger=logger
+        config, state, eval_step, loader, results_filename, logger=logger,
+        plan=plan,
     )
     logger.info(f"metrics {pprint.pformat(metrics['brief'], indent=4)}")
     for k, v in loss_meters.items():

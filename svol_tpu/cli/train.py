@@ -43,15 +43,27 @@ from svol_tpu.utils.profiling import maybe_trace
 
 
 def train_val(config: SvolConfig, logger) -> None:
-    plan = make_mesh_plan(config.train.dp_devices)
-    plan.set_active()  # in-model seq-parallel constraints target this mesh
-    logger.info(f"mesh: {plan.mesh} (DP over {plan.data_axis_size} devices)")
+    plan = make_mesh_plan(
+        config.train.dp_devices,
+        seq_axis=config.train.sp_devices,
+        model_axis=config.train.tp_devices,
+    )
+    plan.set_active()  # in-model seq/tensor-parallel constraints target this mesh
+    logger.info(
+        f"mesh: {plan.mesh} (data={plan.data_axis_size}, "
+        f"seq={plan.seq_axis_size}, model={plan.model_axis_size})"
+    )
     if config.data.bs % plan.data_axis_size:
         raise ValueError(
             f"batch size {config.data.bs} must be divisible by the data-"
             f"parallel mesh size {plan.data_axis_size}; adjust --bs or limit "
             f"devices via dp_devices"
         )
+    # validation runs data-parallel on the same mesh when the padded eval
+    # batch divides over the 'data' axis (cli/infer.get_results contract)
+    eval_plan = (
+        plan if config.data.eval_bs % plan.data_axis_size == 0 else None
+    )
 
     process_index = jax.process_index()
     process_count = jax.process_count()
@@ -110,6 +122,7 @@ def train_val(config: SvolConfig, logger) -> None:
         metrics_out, _, _ = inference(
             config, state, eval_step, val_loader_factory(),
             f"{cur_time()}_{config.run_tag('val_untrained')}.jsonl", logger=logger,
+            plan=eval_plan,
         )
         logger.info(
             f"\n>>>>> Untrained baseline\n"
@@ -224,13 +237,13 @@ def train_val(config: SvolConfig, logger) -> None:
                 # CLI caller runs it once at the end of training).
                 brief = fast_validation(
                     state, eval_step, val_loader_factory(),
-                    config.model.num_queries_per_frame,
+                    config.model.num_queries_per_frame, plan=eval_plan,
                 )
             else:
                 results_filename = f"{cur_time()}_{config.run_tag('val')}.jsonl"
                 metrics_out, eval_loss_meters, _ = inference(
                     config, state, eval_step, val_loader_factory(),
-                    results_filename, logger=logger,
+                    results_filename, logger=logger, plan=eval_plan,
                 )
                 brief = metrics_out["brief"]
             cur_metric = brief["SVOL-full-mIoU@R1"]
@@ -261,7 +274,7 @@ def train_val(config: SvolConfig, logger) -> None:
                     metrics_out, _, _ = inference(
                         config, state, eval_step, val_loader_factory(),
                         f"{cur_time()}_{config.run_tag('val')}.jsonl",
-                        logger=logger,
+                        logger=logger, plan=eval_plan,
                     )
                     logger.info(
                         f"\n>>>>> New best (full metrics)\n"
@@ -293,6 +306,7 @@ def train_val(config: SvolConfig, logger) -> None:
         metrics_out, _, _ = inference(
             config, state, eval_step, val_loader_factory(),
             f"{cur_time()}_{config.run_tag('val_final')}.jsonl", logger=logger,
+            plan=eval_plan,
         )
         logger.info(
             f"\n>>>>> Final evaluation (best mIoU@R1 {best_metric:.2f})\n"

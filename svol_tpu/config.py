@@ -152,8 +152,16 @@ class TrainConfig:
     freeze_backbone: bool = False
     # bf16 train step (replaces apex AMP opt-level, configs.py:52-56)
     use_bf16: bool = True
-    # Mesh axes for data parallelism; -1 = all visible devices.
+    # Mesh device budget (total devices across all axes); -1 = all visible.
     dp_devices: int = -1
+    # 'seq' mesh axis: frame/sequence parallelism — video tokens (and the
+    # self-attention over them) shard across devices (parallel/mesh.py).
+    sp_devices: int = 1
+    # 'model' mesh axis: tensor parallelism — attention/MLP kernels shard in
+    # the Megatron layout (parallel/mesh.py::param_partition_spec). Must
+    # divide nheads and the FFN widths. Data-parallel size becomes
+    # total / (sp_devices * tp_devices).
+    tp_devices: int = 1
     # Write a jax.profiler trace of the first profiled steps to log_dir.
     profile: bool = False
     # On-device fast validation (evaluate/device.py): mIoU@R1 drives
@@ -224,6 +232,19 @@ class SvolConfig:
                 "max_boxes_per_frame must equal num_queries_per_frame "
                 "(per-frame LSAP is square after densification)"
             )
+        tp = self.train.tp_devices
+        if tp > 1:
+            for nm, val in (
+                ("nheads", m.nheads),
+                ("hidden_dim", m.hidden_dim),
+                ("cmt_dim_feedforward", m.cmt_dim_feedforward),
+                ("dim_feedforward", m.dim_feedforward),
+            ):
+                if val % tp:
+                    raise ValueError(
+                        f"tp_devices ({tp}) must divide {nm} ({val}) — the "
+                        "'model' mesh axis shards heads and FFN features"
+                    )
         if self.train.accum_steps < 1:
             raise ValueError("accum_steps must be >= 1")
         n = self.train.steps_per_dispatch
@@ -357,6 +378,9 @@ _FLAG_MAP = {
     "freeze_backbone": ("train", "freeze_backbone"),
     "profile": ("train", "profile"),
     "fast_val": ("train", "fast_val"),
+    "dp_devices": ("train", "dp_devices"),
+    "sp_devices": ("train", "sp_devices"),
+    "tp_devices": ("train", "tp_devices"),
     "steps_per_dispatch": ("train", "steps_per_dispatch"),
     "accum_steps": ("train", "accum_steps"),
     "bbox_type": ("eval", "bbox_type"),

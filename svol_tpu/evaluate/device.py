@@ -68,7 +68,7 @@ def finalize(miou_sum: float, hits, n_gts: float) -> Dict[str, float]:
 
 
 def fast_validation(
-    state, eval_step, loader, queries_per_frame: int
+    state, eval_step, loader, queries_per_frame: int, plan=None
 ) -> Dict[str, float]:
     """Training-time fast validation: on-device mIoU@R1 / R1@thd.
 
@@ -89,6 +89,10 @@ def fast_validation(
     for batch, extra in loader:
         device_batch = dict(batch)
         device_batch.update(extra["targets"])
+        if plan is not None:
+            # data-parallel validation (cli/infer.get_results has the
+            # same contract: eval_bs divisible by the 'data' axis)
+            device_batch = plan.shard_batch(device_batch)
         _losses, scores, boxes = eval_step(state, device_batch)
         # pad rows (pipeline.pad_to_batch replicates the last real example):
         # zero their GT validity so they contribute no GTs/hits

@@ -74,11 +74,25 @@ class MultiheadAttention(nn.Module):
         k = k.reshape(B, Lk, self.num_heads, head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(B, Lk, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
+        # tensor parallelism (parallel/mesh.py): heads shard over the active
+        # plan's 'model' axis (no-op otherwise). The Pallas flash kernel is a
+        # custom call XLA cannot partition, so under TP the attention stays
+        # on the einsum formulation below, which GSPMD splits head-parallel.
+        from svol_tpu.parallel.mesh import (
+            active_model_axis_size,
+            shard_attention_heads,
+        )
+
+        q = shard_attention_heads(q)
+        k = shard_attention_heads(k)
+        v = shard_attention_heads(v)
+
         if (
             self.use_flash
             and not need_weights
             and key_padding_mask is None
             and (self.dropout == 0.0 or deterministic)
+            and active_model_axis_size() == 1
         ):
             # fused path: (Lq, Lk) logits stay in VMEM with an exact f32
             # softmax — never written to HBM (ops/pallas/flash_attention.py).

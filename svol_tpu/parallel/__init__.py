@@ -1,3 +1,7 @@
-from svol_tpu.parallel.mesh import MeshPlan, make_mesh_plan
+from svol_tpu.parallel.mesh import (
+    MeshPlan,
+    make_mesh_plan,
+    param_partition_spec,
+)
 
-__all__ = ["MeshPlan", "make_mesh_plan"]
+__all__ = ["MeshPlan", "make_mesh_plan", "param_partition_spec"]

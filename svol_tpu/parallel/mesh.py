@@ -8,9 +8,20 @@ averaging falls out of jit-compiling ``value_and_grad`` on sharded inputs —
 XLA inserts the psum over ICI; there is no DDP wrapper, no delay_allreduce,
 no explicit barrier (SPMD programs are implicitly synchronized).
 
-Beyond parity, the plan carries an optional ``seq`` axis for sharding the
-video-token dimension (context parallelism over frames) — a new capability
-for long clips the reference cannot express (SURVEY.md §5 long-context).
+Beyond parity, the plan carries two optional extra axes the reference
+cannot express (SURVEY.md §2 parallelism checklist, §5 long-context):
+
+* ``seq`` — shards the video-token dimension (context parallelism over
+  frames) for long clips;
+* ``model`` — tensor parallelism in the Megatron layout: the transformer
+  head's attention projections shard column-wise (q/k/v out-dim = heads)
+  and row-wise (out_proj in-dim), the MLPs likewise (fc1 out / fc2 in), so
+  each block costs exactly one psum, inserted by XLA where the contraction
+  dimension is sharded (``param_partition_spec``). SVOL's flagship head is
+  small enough to replicate, so this axis is about the framework, not this
+  model's memory: it is proven numerically DP-identical on the full train
+  step (tests/test_tensor_parallel.py) and exercised by the driver dryrun.
+
 Multi-host topologies initialize via ``jax.distributed.initialize`` before
 mesh construction; each host feeds its own data shard
 (pipeline.build_loader(shard_index=process_index)).
@@ -33,6 +44,62 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _active_plan: contextvars.ContextVar = contextvars.ContextVar(
     "svol_active_mesh_plan", default=None
 )
+
+
+def active_model_axis_size() -> int:
+    """Size of the active plan's 'model' (tensor-parallel) mesh axis; 1 when
+    no plan is active. Model code uses this to pick formulations GSPMD can
+    partition over heads (e.g. the einsum attention path instead of the
+    fused Pallas kernel, which XLA cannot split — models/layers.py)."""
+    plan = _active_plan.get()
+    return 1 if plan is None else plan.model_axis_size
+
+
+def shard_attention_heads(x: Any) -> Any:
+    """Tensor-parallel sharding constraint for (B, H, L, head_dim) attention
+    tensors INSIDE jitted model code: heads over 'model', batch over 'data'.
+    Pins the head-parallel partitioning of the attention einsums (the
+    propagation from the column-sharded q/k/v kernels already implies it;
+    the explicit constraint keeps GSPMD from resharding around the reshape/
+    transpose). No-op when no plan is active or 'model' is trivial."""
+    plan = _active_plan.get()
+    if plan is None or plan.model_axis_size == 1:
+        return x
+    spec = [None] * x.ndim
+    spec[0] = "data"
+    spec[1] = "model"
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(plan.mesh, P(*spec))
+    )
+
+
+# Megatron-layout partition rules for tensor parallelism, keyed on the last
+# two path components of a parameter (module name, leaf name). Everything
+# not listed — backbone convs, norms, embeddings, heads — replicates.
+_TP_COL = {"q_proj", "k_proj", "v_proj", "fc1"}  # split output features
+_TP_ROW = {"out_proj", "fc2"}  # split input features -> psum after
+
+
+def param_partition_spec(path: Sequence[Any]) -> P:
+    """PartitionSpec for one parameter (or mirrored optimizer-state) leaf
+    under tensor parallelism, from its tree path. Accepts jax key entries
+    (DictKey/GetAttrKey/...) or plain strings (tests)."""
+    names = tuple(
+        p if isinstance(p, str)
+        else getattr(p, "key", None) or getattr(p, "name", None)
+        for p in path
+    )
+    if len(names) < 2:
+        return P()
+    mod, leaf = names[-2], names[-1]
+    if mod in _TP_COL:
+        if leaf == "kernel":
+            return P(None, "model")
+        if leaf == "bias":
+            return P("model")
+    if mod in _TP_ROW and leaf == "kernel":
+        return P("model", None)
+    return P()
 
 
 def shard_video_tokens(x: Any, token_axis: int = 1) -> Any:
@@ -74,6 +141,10 @@ class MeshPlan:
     @property
     def seq_axis_size(self) -> int:
         return self.mesh.shape["seq"]
+
+    @property
+    def model_axis_size(self) -> int:
+        return dict(self.mesh.shape).get("model", 1)
 
     def batch_sharding(self) -> NamedSharding:
         return NamedSharding(self.mesh, self.batch_spec)
@@ -153,8 +224,22 @@ class MeshPlan:
         return jax.tree.map(place, tree)
 
     def replicate(self, tree: Any) -> Any:
-        sharding = self.replicated_sharding()
-        return jax.tree.map(lambda x: self._place(x, sharding), tree)
+        """Place the train state (or any param-shaped tree) onto the mesh.
+
+        Pure DP/SP meshes replicate every leaf. With a non-trivial 'model'
+        axis, the Megatron partition rules (``param_partition_spec``) shard
+        the attention/MLP kernels instead — the rules key on the last two
+        path components, so optimizer-state leaves that mirror the param
+        tree (adam mu/nu) pick up the same shardings automatically."""
+        if self.model_axis_size == 1:
+            sharding = self.replicated_sharding()
+            return jax.tree.map(lambda x: self._place(x, sharding), tree)
+
+        def place(path, x):
+            spec = param_partition_spec(path)
+            return self._place(x, NamedSharding(self.mesh, spec))
+
+        return jax.tree_util.tree_map_with_path(place, tree)
 
     def set_active(self) -> None:
         """Process-lifetime variant of :meth:`activate` for CLI entry points
@@ -180,8 +265,11 @@ def make_mesh_plan(
     num_devices: int = -1,
     devices: Optional[Sequence[jax.Device]] = None,
     seq_axis: int = 1,
+    model_axis: int = 1,
 ) -> MeshPlan:
-    """Build a ('data', 'seq') mesh. seq_axis=1 (default) means pure DP.
+    """Build a ('data', 'seq', 'model') mesh. The defaults (seq_axis=1,
+    model_axis=1) mean pure DP; 'model' is laid out innermost so tensor-
+    parallel psums ride the fastest ICI links.
 
     ``SVOL_MESH_DEVICES`` caps the default device set — the virtual-CPU-mesh
     test provision: XLA:CPU sizes its execution pool by device count and its
@@ -201,7 +289,9 @@ def make_mesh_plan(
     if num_devices > 0:
         devices = devices[:num_devices]
     n = len(devices)
-    assert n % seq_axis == 0, (n, seq_axis)
-    dev_array = np.asarray(devices).reshape(n // seq_axis, seq_axis)
-    mesh = Mesh(dev_array, axis_names=("data", "seq"))
+    assert n % (seq_axis * model_axis) == 0, (n, seq_axis, model_axis)
+    dev_array = np.asarray(devices).reshape(
+        n // (seq_axis * model_axis), seq_axis, model_axis
+    )
+    mesh = Mesh(dev_array, axis_names=("data", "seq", "model"))
     return MeshPlan(mesh=mesh, batch_spec=P("data"), replicated_spec=P())
