@@ -110,28 +110,17 @@ def _measure(args) -> dict:
         _sample_batch,
         init_variables,
     )
-    ap.add_argument("--with-input", action="store_true",
-                    help="include uint8 host->device transfer + normalize in "
-                         "the timed loop (end-to-end companion number)")
-    ap.add_argument("--batch-size", type=int, default=8)
-    ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--quantize", default="int8", choices=["int8", "none"],
-                    help="int8 = the serving path (ops/quant.py); none = the "
-                         "exact bf16 path. Default int8 (accuracy measured at "
-                         "parity — PERFORMANCE.md)")
-    ap.add_argument("--calibrated", action=argparse.BooleanOptionalAction,
-                    default=True,
-                    help="with int8: static activation scales from a "
-                         "calibration pass (fastest serving configuration); "
-                         "--no-calibrated uses dynamic per-tensor scales")
-    ap.add_argument("--bf16", action="store_true",
-                    help="shorthand for --quantize none (the bit-accuracy "
-                         "reference path)")
+
+    if args.cpu:
+        # Test/smoke mode: force the host platform. Must happen after
+        # `import jax` — the axon TPU plugin registers via sitecustomize and
+        # ignores the JAX_PLATFORMS env var (CLAUDE.md).
+        jax.config.update("jax_platforms", "cpu")
     _enable_compile_cache()
     from svol_tpu.models import build_model
     from svol_tpu.train.steps import make_predict_fn
 
-    cfg = _flagship_config()
+    cfg = _flagship_config(tiny=args.tiny)
     cfg.model.quantize = args.quantize
     cfg.model.quantize_attention = args.quantize_attention
     batch_size = args.batch_size
@@ -204,6 +193,13 @@ def main(argv=None) -> None:
     ap.add_argument("--attempts", type=int, default=3,
                     help="retries on failure: this environment's TPU worker "
                          "can crash transiently and recover (CLAUDE.md)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model/shapes (smoke/test mode — the number is "
+                         "meaningless, only the contract is exercised)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the host CPU platform (smoke/test mode)")
+    ap.add_argument("--retry-wait", type=float, default=60.0,
+                    help="seconds between retry attempts")
     args = ap.parse_args(argv)
     if args.bf16 or args.quantize == "none":
         args.quantize = None
@@ -212,18 +208,24 @@ def main(argv=None) -> None:
 
     # The tunneled TPU worker can crash mid-program and recover a minute
     # later (PERFORMANCE.md, CLAUDE.md); one JSON line on stdout either way,
-    # diagnostics on stderr.
+    # diagnostics on stderr. Deterministic Python bugs must NOT retry — they
+    # are fatal on attempt 1 and retrying burns driver budget (round 3
+    # shipped a NameError that slept through 3x60 s before failing).
+    _FATAL = (NameError, TypeError, AttributeError, SyntaxError, ImportError,
+              KeyError, IndexError, AssertionError)
     last = None
     for attempt in range(max(1, args.attempts)):
         try:
             out = _measure(args)
             break
-        except Exception as e:  # noqa: BLE001 — any backend fault retries
+        except _FATAL:
+            raise
+        except Exception as e:  # noqa: BLE001 — backend faults retry
             last = e
             print(f"bench attempt {attempt + 1} failed: {e!r}; retrying in "
-                  "60 s (transient TPU worker crashes recover on retry)",
-                  file=sys.stderr, flush=True)
-            time.sleep(60)
+                  f"{args.retry_wait:.0f} s (transient TPU worker crashes "
+                  "recover on retry)", file=sys.stderr, flush=True)
+            time.sleep(args.retry_wait)
     else:
         raise last
     print(json.dumps(out))
