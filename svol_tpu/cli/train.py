@@ -56,14 +56,28 @@ def train_val(config: SvolConfig, logger) -> None:
     if config.data.bs % plan.data_axis_size:
         raise ValueError(
             f"batch size {config.data.bs} must be divisible by the data-"
-            f"parallel mesh size {plan.data_axis_size}; adjust --bs or limit "
-            f"devices via dp_devices"
+            f"parallel mesh size {plan.data_axis_size}; adjust --bs or the "
+            f"total device budget (--dp_devices is the budget across ALL "
+            f"mesh axes: data = dp_devices / (sp_devices * tp_devices))"
         )
-    # validation runs data-parallel on the same mesh when the padded eval
-    # batch divides over the 'data' axis (cli/infer.get_results contract)
-    eval_plan = (
-        plan if config.data.eval_bs % plan.data_axis_size == 0 else None
-    )
+    # validation runs data-parallel on the same mesh; the padded eval batch
+    # must divide over the 'data' axis (cli/infer.get_results contract).
+    # A silent single-device fallback here would be wrong: the plan stays
+    # active and the train state stays mesh/TP-sharded, so validation would
+    # trace seq/model constraints against unsharded batches — an untested
+    # hybrid (ADVICE r3). infer.py's genuine fallback never activates a
+    # plan; here, pad eval_bs up to the next data-axis multiple instead
+    # (each val batch is already shape-padded to eval_bs, and per-example
+    # losses/rows drop pad entries exactly — train/steps.py:199-226).
+    if config.data.eval_bs % plan.data_axis_size:
+        d = plan.data_axis_size
+        padded = ((config.data.eval_bs + d - 1) // d) * d
+        logger.info(
+            f"eval_bs {config.data.eval_bs} is not divisible by the "
+            f"{d}-way data axis; padding eval batches up to {padded}"
+        )
+        config.data.eval_bs = padded
+    eval_plan = plan
 
     process_index = jax.process_index()
     process_count = jax.process_count()

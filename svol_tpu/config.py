@@ -98,7 +98,13 @@ class ModelConfig:
     quantize: Optional[str] = None
     # with quantize='int8': also run the flash self-attention QK/PV matmuls
     # on the int8 units (head_dim 32 quarters the bf16 MXU; int8 halves that
-    # penalty — ops/pallas/flash_attention.py int8 variant)
+    # penalty — ops/pallas/flash_attention.py int8 variant).
+    # TP interaction (ADVICE r3): the fused flash kernels are custom calls
+    # XLA cannot partition, so with tp_devices>1 EVERY attention module
+    # falls back to the head-parallel einsum path — use_flash_attention and
+    # quantize_attention then have no effect (calibration still records
+    # attention amax values; they are simply unused). Serving with int8
+    # attention is a single-chip/DP configuration.
     quantize_attention: bool = False
     # TPU stem: 'space_to_depth' is the mathematically-equivalent MXU-friendly
     # rearrangement of the 7x7/s2 entry conv (models/resnet.py); checkpoints
@@ -152,7 +158,10 @@ class TrainConfig:
     freeze_backbone: bool = False
     # bf16 train step (replaces apex AMP opt-level, configs.py:52-56)
     use_bf16: bool = True
-    # Mesh device budget (total devices across all axes); -1 = all visible.
+    # TOTAL mesh device budget across ALL axes (-1 = all visible devices);
+    # the data-parallel size is dp_devices / (sp_devices * tp_devices). The
+    # name is kept for historical CLI compatibility — read it as the device
+    # budget, not the data-axis size (ADVICE r3).
     dp_devices: int = -1
     # 'seq' mesh axis: frame/sequence parallelism — video tokens (and the
     # self-attention over them) shard across devices (parallel/mesh.py).

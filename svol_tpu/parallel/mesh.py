@@ -57,17 +57,27 @@ def active_model_axis_size() -> int:
 
 def shard_attention_heads(x: Any) -> Any:
     """Tensor-parallel sharding constraint for (B, H, L, head_dim) attention
-    tensors INSIDE jitted model code: heads over 'model', batch over 'data'.
-    Pins the head-parallel partitioning of the attention einsums (the
-    propagation from the column-sharded q/k/v kernels already implies it;
-    the explicit constraint keeps GSPMD from resharding around the reshape/
-    transpose). No-op when no plan is active or 'model' is trivial."""
+    tensors INSIDE jitted model code: heads over 'model', batch over 'data',
+    and — when the active plan also has a non-trivial 'seq' axis — the
+    token/query axis over 'seq'. Pins the head-parallel partitioning of the
+    attention einsums (the propagation from the column-sharded q/k/v kernels
+    already implies it; the explicit constraint keeps GSPMD from resharding
+    around the reshape/transpose). Without the 'seq' entry a fully-specified
+    P('data','model',None,None) would pin the token axis REPLICATED across
+    'seq', silently defeating sequence-parallel self-attention whenever
+    sp>1 and tp>1 combine (ADVICE r3): each seq group would materialize the
+    full (L, L) logits. The constraint never changes semantics, only layout,
+    so the divisibility guard below just skips axes GSPMD would pad.
+    No-op when no plan is active or 'model' is trivial."""
     plan = _active_plan.get()
     if plan is None or plan.model_axis_size == 1:
         return x
     spec = [None] * x.ndim
     spec[0] = "data"
     spec[1] = "model"
+    if (plan.seq_axis_size > 1 and x.ndim >= 3
+            and x.shape[2] % plan.seq_axis_size == 0):
+        spec[2] = "seq"
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(plan.mesh, P(*spec))
     )
@@ -235,8 +245,24 @@ class MeshPlan:
             sharding = self.replicated_sharding()
             return jax.tree.map(lambda x: self._place(x, sharding), tree)
 
+        tp = self.model_axis_size
+
         def place(path, x):
             spec = param_partition_spec(path)
+            # the rules match bare module names (q_proj/fc1/...) at any tree
+            # depth, while config.validate only checks the transformer-head
+            # dims — validate each matched leaf's ACTUAL dim here so a
+            # future module reusing those names can't be silently
+            # mis-sharded (ADVICE r3)
+            for dim, axis in enumerate(spec):
+                if axis == "model" and np.shape(x)[dim] % tp:
+                    raise ValueError(
+                        f"tensor-parallel axis size {tp} does not divide "
+                        f"dim {dim} (={np.shape(x)[dim]}) of parameter "
+                        f"{jax.tree_util.keystr(tuple(path))}; the Megatron "
+                        "rules matched this leaf by module name "
+                        "(param_partition_spec)"
+                    )
             return self._place(x, NamedSharding(self.mesh, spec))
 
         return jax.tree_util.tree_map_with_path(place, tree)
