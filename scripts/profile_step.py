@@ -46,7 +46,13 @@ def report(trace_dir: str, top: int = 40) -> None:
                       recursive=True)
     assert paths, f"no xplane under {trace_dir}"
     path = max(paths, key=os.path.getmtime)
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    # the tensorboard_plugin_profile shim in this image is version-skewed
+    # against its TF (xspace_to_tools_data missing); the xprof package it
+    # wraps converts fine (round 4)
+    try:
+        from xprof.convert import raw_to_tool_data as rtd
+    except ImportError:  # older images
+        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
 
     data, _ = rtd.xspace_to_tool_data([path], "framework_op_stats", {})
     if isinstance(data, bytes):
@@ -56,6 +62,32 @@ def report(trace_dir: str, top: int = 40) -> None:
     with open(out, "w") as f:
         f.write(data)
     print("op stats written to", out, f"({len(data)} bytes)")
+    _print_top(out, top)
+
+
+def _print_top(op_stats_json: str, top: int = 40) -> None:
+    """Human summary: top device ops by self-time, plus per-type totals."""
+    import collections
+    import json
+
+    data = json.loads(open(op_stats_json).read())
+    if isinstance(data, list):
+        data = data[0]
+    rows = [[c["v"] for c in r["c"]] for r in data["rows"]]
+    dev = [r for r in rows if r[1] == "Device"]
+    total = sum(r[7] for r in dev)
+    agg = collections.Counter()
+    for r in dev:
+        agg[r[2]] += r[7]
+    print(f"device self-time total {total / 1e3:.2f} ms")
+    print("== by op type ==")
+    for t, us in agg.most_common(12):
+        print(f"  {t:28s} {us / 1e3:8.2f} ms {100 * us / total:5.1f}%")
+    print(f"== top {top} ops ==")
+    dev.sort(key=lambda r: -r[7])
+    for r in dev[:top]:
+        print(f"  {r[7] / 1e3:8.3f} ms {r[14] / 1e3:7.1f} TF/s "
+              f"{r[15]:5.0f} GB/s {str(r[17]):8s} {r[3][-90:]}")
 
 
 if __name__ == "__main__":

@@ -40,6 +40,8 @@ class ResNetBackbone(nn.Module):
         sketch: Array,  # (B, 1, H, W, 3)
         video: Array,  # (B, T, H, W, 3)
         train: bool = False,
+        sketch_scale: float = 1.0,  # folded into the stem conv kernel
+        video_scale: float = 1.0,  # (uint8 /255 for free — models/resnet.py)
     ) -> Tuple[Array, Array]:
         make = {"resnet18": resnet18, "resnet34": resnet34, "resnet50": resnet50}
 
@@ -51,10 +53,11 @@ class ResNetBackbone(nn.Module):
                                         name="video_backbone")
 
         B, T = video.shape[0], video.shape[1]
-        src_sketch = skch_net(sketch[:, 0], train=train)[:, None, :]  # (B, 1, C)
+        src_sketch = skch_net(sketch[:, 0], train=train,
+                              input_scale=sketch_scale)[:, None, :]  # (B, 1, C)
 
         frames = video.reshape((B * T,) + video.shape[2:])
-        fmap = vid_net(frames, train=train)  # (B*T, h, w, C)
+        fmap = vid_net(frames, train=train, input_scale=video_scale)  # (B*T, h, w, C)
         h, w, c = fmap.shape[1:]
         # (t, h, w) token order — matches the reference flatten (backbone.py:86)
         src_video = fmap.reshape(B, T * h * w, c)

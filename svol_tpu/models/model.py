@@ -115,14 +115,36 @@ class SketchLocalizationModel(nn.Module):
         return_attention: bool = False,
     ) -> Dict[str, Any]:
         # pixels travel host->device as uint8 (4x less transfer than f32);
-        # normalization to [0, 1] happens here, on device
+        # normalization to [0, 1] happens here, on device. For the ResNet
+        # backbone the /255 FOLDS INTO the stem conv's kernel (conv is
+        # linear: conv(x/255, k) == conv(x, k/255)) — the division was a
+        # full HBM read+write pass over the pixel tensor (0.9 ms/train-step,
+        # scripts/profile_train.py 'div'); scaling the (7,7,3,64) kernel is
+        # free. ViT normalizes inside its own wrapper, so it keeps the
+        # explicit division.
         f = self.dtype or jnp.float32
+        fold = self.config.model.backbone == "resnet"
+        video_scale = sketch_scale = 1.0
         if jnp.issubdtype(src_video.dtype, jnp.integer):
-            src_video = src_video.astype(f) / 255.0
+            src_video = src_video.astype(f)
+            if fold:
+                video_scale = 1.0 / 255.0
+            else:
+                src_video = src_video / 255.0
         if jnp.issubdtype(src_sketch.dtype, jnp.integer):
-            src_sketch = src_sketch.astype(f) / 255.0
+            src_sketch = src_sketch.astype(f)
+            if fold:
+                sketch_scale = 1.0 / 255.0
+            else:
+                src_sketch = src_sketch / 255.0
 
-        feat_sketch, feat_video = self.backbone(src_sketch, src_video, train=train)
+        if fold:
+            feat_sketch, feat_video = self.backbone(
+                src_sketch, src_video, train=train,
+                sketch_scale=sketch_scale, video_scale=video_scale)
+        else:
+            feat_sketch, feat_video = self.backbone(src_sketch, src_video,
+                                                    train=train)
 
         # sequence parallelism: keep the video token axis sharded over the
         # active mesh's 'seq' axis into the head (no-op off-mesh) — the conv

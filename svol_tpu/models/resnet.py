@@ -65,12 +65,20 @@ class QuantizableConv(nn.Module):
     quantize: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, kernel_scale: float = 1.0) -> Array:
+        """``kernel_scale``: compile-time constant folded into the kernel —
+        conv(s*x, k) == conv(x, s*k), so the stem conv absorbs the uint8
+        pixel normalization (1/255) for free instead of paying a full
+        HBM read+write pass over the pixels (0.9 ms/train-step measured,
+        scripts/profile_train.py 'div'). The stored parameter stays
+        UNSCALED (checkpoint/port compatibility)."""
         kh, kw = self.kernel_size
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (kh, kw, x.shape[-1], self.features), jnp.float32,
         )
+        if kernel_scale != 1.0:
+            kernel = kernel * kernel_scale
         if self.quantize == "int8":
             from svol_tpu.ops.quant import int8_conv
 
@@ -104,6 +112,37 @@ class QuantizableConv(nn.Module):
             x, kernel, window_strides=self.strides, padding=pad,
             dimension_numbers=dn,
         )
+
+
+def max_pool_3x3_s2(x: Array, impl: str = "reduce_window") -> Array:
+    """The stem's 3x3 stride-2 pad-1 max pool, in two formulations.
+
+    ``reduce_window``: flax/XLA native — its GRADIENT lowers to
+    ``select_and_scatter``, the single most expensive op in the round-4
+    train-step trace (3.5 ms/step at bs=16, HBM-bound —
+    scripts/profile_train.py). ``shifted_max``: elementwise max over the 9
+    strided window shifts; identical forward values (same max over the same
+    windows), and its autodiff is a fusable compare/select/pad chain with no
+    select_and_scatter (A/B: scripts/bench_maxpool.py). Backward differs
+    only on tied window maxima (ties route to one element vs split among
+    shifts — both valid subgradients; ties arise at ReLU-clamped zeros).
+    """
+    if impl == "reduce_window":
+        return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+    assert impl == "shifted_max", impl
+    N, H, W, C = x.shape
+    Ho, Wo = (H - 1) // 2 + 1, (W - 1) // 2 + 1
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                 constant_values=-jnp.inf)
+    out = None
+    for i in range(3):
+        for j in range(3):
+            s = lax.slice(
+                xp, (0, i, j, 0),
+                (N, i + 2 * Ho - 1, j + 2 * Wo - 1, C), (1, 2, 2, 1),
+            )
+            out = s if out is None else jnp.maximum(out, s)
+    return out
 
 
 def space_to_depth(x: Array, block: int = 2) -> Array:
@@ -207,16 +246,21 @@ class ResNet(nn.Module):
     quantize: Optional[str] = None  # int8 inference path (ops/quant.py)
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
-        # x: (N, H, W, 3)
+    def __call__(self, x: Array, train: bool = False,
+                 input_scale: float = 1.0) -> Array:
+        # x: (N, H, W, 3); ``input_scale`` multiplies the input — folded
+        # into the stem conv's kernel (conv is linear), so uint8 pixels can
+        # skip the /255 normalization pass (QuantizableConv.kernel_scale)
         q = None if train else self.quantize
         if self.stem == "space_to_depth":
             y = QuantizableConv(64, (4, 4), strides=(1, 1),
                                 padding=((2, 1), (2, 1)), dtype=self.dtype,
-                                quantize=q, name="conv1_s2d")(space_to_depth(x))
+                                quantize=q, name="conv1_s2d")(
+                space_to_depth(x), kernel_scale=input_scale)
         elif self.stem == "conv7":
             y = QuantizableConv(64, (7, 7), strides=(2, 2), padding=3,
-                                dtype=self.dtype, quantize=q, name="conv1")(x)
+                                dtype=self.dtype, quantize=q, name="conv1")(
+                x, kernel_scale=input_scale)
         else:
             raise ValueError(f"unknown stem {self.stem!r}")
         y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,

@@ -114,3 +114,27 @@ def test_padded_frames_are_background_only(rng):
     variables = model.init(jax.random.PRNGKey(0), **inputs)
     out = model.apply(variables, **inputs)
     assert np.isfinite(np.asarray(out["pred_boxes"])).all()
+
+
+def test_uint8_fold_matches_float_path(rng):
+    """uint8 pixels skip the /255 normalization pass — the scale folds into
+    the stem conv's kernel (conv is linear; models/resnet.py
+    QuantizableConv.kernel_scale). The folded path must match feeding
+    pre-divided float pixels to float32 rounding noise."""
+    cfg = tiny_config()
+    model = build_model(cfg)
+    u8 = dict(
+        src_sketch=np.asarray(rng.integers(0, 256, (2, 1, IMG, IMG, 3)), np.uint8),
+        src_video=np.asarray(rng.integers(0, 256, (2, T, IMG, IMG, 3)), np.uint8),
+        src_sketch_mask=np.ones((2, 1), np.float32),
+        src_video_mask=np.ones((2, T), np.float32),
+    )
+    fl = dict(u8, src_sketch=u8["src_sketch"].astype(np.float32) / 255.0,
+              src_video=u8["src_video"].astype(np.float32) / 255.0)
+    variables = model.init(jax.random.PRNGKey(0), **fl)
+    out_u8 = model.apply(variables, **u8)
+    out_fl = model.apply(variables, **fl)
+    np.testing.assert_allclose(np.asarray(out_u8["pred_boxes"]),
+                               np.asarray(out_fl["pred_boxes"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_u8["pred_logits"]),
+                               np.asarray(out_fl["pred_logits"]), atol=1e-4)
