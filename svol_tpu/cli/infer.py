@@ -259,6 +259,7 @@ def main(argv=None) -> None:
         config.train.dp_devices,
         seq_axis=config.train.sp_devices,
         model_axis=config.train.tp_devices,
+        pipe_axis=config.train.pp_devices,
     )
     if config.data.eval_bs % plan.data_axis_size == 0:
         state = plan.replicate(state)

@@ -47,10 +47,12 @@ def train_val(config: SvolConfig, logger) -> None:
         config.train.dp_devices,
         seq_axis=config.train.sp_devices,
         model_axis=config.train.tp_devices,
+        pipe_axis=config.train.pp_devices,
     )
     plan.set_active()  # in-model seq/tensor-parallel constraints target this mesh
     logger.info(
-        f"mesh: {plan.mesh} (data={plan.data_axis_size}, "
+        f"mesh: {plan.mesh} (pipe={plan.pipe_axis_size}, "
+        f"data={plan.data_axis_size}, "
         f"seq={plan.seq_axis_size}, model={plan.model_axis_size})"
     )
     if config.data.bs % plan.data_axis_size:

@@ -171,6 +171,17 @@ class TrainConfig:
     # divide nheads and the FFN widths. Data-parallel size becomes
     # total / (sp_devices * tp_devices).
     tp_devices: int = 1
+    # 'pipe' mesh axis: GPipe pipeline parallelism — the cross-modal
+    # transformer's stacked layers shard stage-wise and microbatches rotate
+    # through them (parallel/pipeline.py). Must divide num_layers; requires
+    # sp_devices == tp_devices == 1 (the in-layer seq/model constraints are
+    # formulated per-stage, not per-buffer) and the svanet head.
+    pp_devices: int = 1
+    # Microbatches per batch for pipeline parallelism (0 = num_layers, the
+    # minimum that fills every stage). More microbatches shrink the GPipe
+    # bubble (S-1)/(M+S-1) at the cost of smaller per-stage matmuls; must
+    # divide bs.
+    pp_microbatches: int = 0
     # Write a jax.profiler trace of the first profiled steps to log_dir.
     profile: bool = False
     # On-device fast validation (evaluate/device.py): mIoU@R1 drives
@@ -254,6 +265,29 @@ class SvolConfig:
                         f"tp_devices ({tp}) must divide {nm} ({val}) — the "
                         "'model' mesh axis shards heads and FFN features"
                     )
+        pp = self.train.pp_devices
+        if pp > 1:
+            if m.sketch_head != "svanet":
+                raise ValueError("pp_devices > 1 supports the svanet head "
+                                 "only (parallel/pipeline.py)")
+            if m.num_layers % pp:
+                raise ValueError(
+                    f"pp_devices ({pp}) must divide num_layers "
+                    f"({m.num_layers}) — the 'pipe' mesh axis shards the "
+                    "transformer's stage axis")
+            if self.train.sp_devices > 1 or self.train.tp_devices > 1:
+                raise ValueError(
+                    "pp_devices > 1 requires sp_devices == tp_devices == 1: "
+                    "the in-layer seq/model sharding constraints are "
+                    "formulated per-example, not per-stage-buffer "
+                    "(parallel/pipeline.py)")
+            mb = self.train.pp_microbatches or m.num_layers
+            if d.bs % mb:
+                raise ValueError(
+                    f"bs ({d.bs}) must be divisible by "
+                    f"pp_microbatches ({mb})")
+        if self.train.pp_microbatches < 0:
+            raise ValueError("pp_microbatches must be >= 0")
         if self.train.accum_steps < 1:
             raise ValueError("accum_steps must be >= 1")
         n = self.train.steps_per_dispatch
@@ -390,6 +424,8 @@ _FLAG_MAP = {
     "dp_devices": ("train", "dp_devices"),
     "sp_devices": ("train", "sp_devices"),
     "tp_devices": ("train", "tp_devices"),
+    "pp_devices": ("train", "pp_devices"),
+    "pp_microbatches": ("train", "pp_microbatches"),
     "steps_per_dispatch": ("train", "steps_per_dispatch"),
     "accum_steps": ("train", "accum_steps"),
     "bbox_type": ("eval", "bbox_type"),

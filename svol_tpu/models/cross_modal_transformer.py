@@ -134,6 +134,13 @@ class CrossModalTransformer(nn.Module):
     use_pallas: bool = False
     use_flash: bool = False
     flash_int8: bool = False
+    # GPipe pipeline parallelism (parallel/pipeline.py): stack the layers
+    # into one vmapped submodule ("layers", stage axis shardable over the
+    # mesh's 'pipe' axis) and rotate microbatches through the stages.
+    # Changes the parameter tree layout (transformer/layers vs
+    # transformer/layer{i}); pipeline.stack_transformer_layers converts.
+    pipeline: bool = False
+    pp_microbatches: int = 0  # 0 = num_layers (minimum that fills stages)
 
     @nn.compact
     def __call__(
@@ -152,6 +159,12 @@ class CrossModalTransformer(nn.Module):
         ).astype(src_vid.dtype)
         out = jnp.zeros_like(query_pos)  # decoder state starts at zeros (:56)
         mem = src_vid
+
+        if self.pipeline:
+            return self._pipelined(
+                mem, src_skch, out, vid_pad_mask, vid_pos, query_pos,
+                deterministic, need_weights,
+            )
 
         outputs, a1s, a2s, a3s, a4s = [], [], [], [], []
         for i in range(self.num_layers):
@@ -181,3 +194,95 @@ class CrossModalTransformer(nn.Module):
             stack(a3s),  # (layers, B, Q, Q)
             stack(a4s),  # (layers, B, Q, L)
         )
+
+    def _pipelined(
+        self, mem, src_skch, out, vid_pad_mask, vid_pos, query_pos,
+        deterministic, need_weights,
+    ):
+        """GPipe schedule over the layer stack (parallel/pipeline.py docs).
+
+        One vmapped layer call per tick computes every stage in parallel
+        (XLA partitions the stage axis over the mesh's 'pipe' axis); the
+        (S, mb, ...) buffers shift one stage per tick via jnp.roll — a
+        collective-permute when the stage axis is sharded. The schedule is
+        unrolled (M, S are small static ints), so collecting stage s's
+        tick-(m+s) output — microbatch m's layer-s state, which feeds
+        SVANet's aux losses exactly like the sequential branch — is pure
+        Python indexing. Numerically identical to the sequential stack:
+        microbatching only re-orders a computation whose examples never
+        interact inside the transformer (tests/test_pipeline_parallel.py).
+        """
+        from svol_tpu.parallel.mesh import shard_pipeline_stages
+        from svol_tpu.parallel.pipeline import (
+            microbatch_merge,
+            microbatch_split,
+        )
+
+        S = self.num_layers
+        M = self.pp_microbatches or S
+
+        StagedLayers = nn.vmap(
+            CrossModalTransformerLayer,
+            in_axes=(0, 0, 0, 0, 0, 0, None, None),
+            out_axes=0,
+            variable_axes={"params": 0},  # stacked (S, ...) parameters
+            split_rngs={"params": True},
+        )
+        staged = StagedLayers(
+            d_model=self.d_model,
+            nhead=self.nhead,
+            dim_feedforward=self.dim_feedforward,
+            activation=self.activation,
+            dtype=self.dtype,
+            use_pallas=self.use_pallas,
+            use_flash=self.use_flash,
+            flash_int8=self.flash_int8,
+            name="layers",
+        )
+
+        # (M, mb, ...) microbatch views; `out` is injected as zeros (the
+        # decoder state starts at zeros), so only its shape matters.
+        inputs = {
+            "mem": microbatch_split(mem, M),
+            "skch": microbatch_split(src_skch, M),
+            "out": microbatch_split(out, M),
+            "mask": microbatch_split(vid_pad_mask, M),
+            "pos": microbatch_split(vid_pos, M),
+            "qpos": microbatch_split(query_pos, M),
+        }
+        # (S, mb, ...) rotating stage buffers, initially empty
+        bufs = {
+            k: jnp.zeros((S,) + v.shape[1:], v.dtype) for k, v in inputs.items()
+        }
+
+        hist = []
+        for t in range(M + S - 1):
+            # shift every stream one stage down and feed microbatch t (or a
+            # dead zero slot once the injection phase is over) into stage 0
+            for k in bufs:
+                inj = (
+                    inputs[k][t] if t < M else jnp.zeros_like(inputs[k][0])
+                )
+                bufs[k] = shard_pipeline_stages(
+                    jnp.roll(bufs[k], 1, axis=0).at[0].set(inj)
+                )
+            mem_b, out_b, a1, a2, a3, a4 = staged(
+                bufs["mem"], bufs["skch"], bufs["out"], bufs["mask"],
+                bufs["pos"], bufs["qpos"], deterministic, need_weights,
+            )
+            bufs["mem"] = shard_pipeline_stages(mem_b)
+            bufs["out"] = shard_pipeline_stages(out_b)
+            hist.append((out_b, a1, a2, a3, a4))
+
+        def collect(idx: int):
+            """Per-layer results: stage s produced microbatch m's layer-s
+            output at tick m + s."""
+            if hist[0][idx] is None:
+                return None
+            per_layer = []
+            for s in range(S):
+                mbs = jnp.stack([hist[m + s][idx][s] for m in range(M)])
+                per_layer.append(microbatch_merge(mbs))
+            return jnp.stack(per_layer)  # (layers, B, ...)
+
+        return tuple(collect(i) for i in range(5))

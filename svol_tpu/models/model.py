@@ -58,6 +58,8 @@ class SketchLocalizationModel(nn.Module):
                 use_flash=cfg.model.use_flash_attention,
                 flash_int8=(cfg.model.quantize == "int8"
                             and cfg.model.quantize_attention),
+                pipeline=cfg.train.pp_devices > 1,
+                pp_microbatches=cfg.train.pp_microbatches,
                 name="head",
             )
         elif cfg.model.sketch_head == "sketch_detr":

@@ -48,6 +48,9 @@ class SVANet(nn.Module):
     use_pallas: bool = False
     use_flash: bool = False
     flash_int8: bool = False
+    # pipeline parallelism over the transformer layers (parallel/pipeline.py)
+    pipeline: bool = False
+    pp_microbatches: int = 0
 
     @nn.compact
     def __call__(
@@ -99,6 +102,8 @@ class SVANet(nn.Module):
             use_pallas=self.use_pallas,
             use_flash=self.use_flash,
             flash_int8=self.flash_int8,
+            pipeline=self.pipeline,
+            pp_microbatches=self.pp_microbatches,
             name="transformer",
         )(vid, skch, ~vid_valid, vid_pos, query_embed,
           deterministic=deterministic, need_weights=return_attention)

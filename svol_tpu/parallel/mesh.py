@@ -55,6 +55,31 @@ def active_model_axis_size() -> int:
     return 1 if plan is None else plan.model_axis_size
 
 
+def active_pipe_axis_size() -> int:
+    """Size of the active plan's 'pipe' (pipeline-parallel) mesh axis; 1 when
+    no plan is active."""
+    plan = _active_plan.get()
+    return 1 if plan is None else plan.pipe_axis_size
+
+
+def shard_pipeline_stages(x: Any) -> Any:
+    """Pipeline-parallel sharding constraint for (S, mb, ...) stage-buffer
+    tensors INSIDE jitted model code (parallel/pipeline.py): the stage axis
+    over 'pipe', the microbatch batch axis over 'data'. Pins the GPipe
+    rotating buffer's layout so XLA partitions the vmapped per-stage layer
+    over the pipe axis and lowers the stage-shift roll to a
+    collective-permute. No-op when no plan is active or 'pipe' is trivial."""
+    plan = _active_plan.get()
+    if plan is None or plan.pipe_axis_size == 1:
+        return x
+    spec = [None] * x.ndim
+    spec[0] = "pipe"
+    spec[1] = "data"
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(plan.mesh, P(*spec))
+    )
+
+
 def shard_attention_heads(x: Any) -> Any:
     """Tensor-parallel sharding constraint for (B, H, L, head_dim) attention
     tensors INSIDE jitted model code: heads over 'model', batch over 'data',
@@ -101,6 +126,12 @@ def param_partition_spec(path: Sequence[Any]) -> P:
     )
     if len(names) < 2:
         return P()
+    if "layers" in names and "transformer" in names:
+        # pipeline parallelism (parallel/pipeline.py): the transformer's
+        # stacked per-stage parameters shard their leading stage axis over
+        # 'pipe' (each device holds its stages' layers). Scoped to the
+        # transformer subtree so e.g. bbox_embed's layer{i} can never match.
+        return P("pipe")
     mod, leaf = names[-2], names[-1]
     if mod in _TP_COL:
         if leaf == "kernel":
@@ -155,6 +186,10 @@ class MeshPlan:
     @property
     def model_axis_size(self) -> int:
         return dict(self.mesh.shape).get("model", 1)
+
+    @property
+    def pipe_axis_size(self) -> int:
+        return dict(self.mesh.shape).get("pipe", 1)
 
     def batch_sharding(self) -> NamedSharding:
         return NamedSharding(self.mesh, self.batch_spec)
@@ -240,12 +275,15 @@ class MeshPlan:
         axis, the Megatron partition rules (``param_partition_spec``) shard
         the attention/MLP kernels instead — the rules key on the last two
         path components, so optimizer-state leaves that mirror the param
-        tree (adam mu/nu) pick up the same shardings automatically."""
-        if self.model_axis_size == 1:
+        tree (adam mu/nu) pick up the same shardings automatically. With a
+        non-trivial 'pipe' axis, the transformer's stacked per-stage
+        parameters (parallel/pipeline.py) shard their stage axis likewise."""
+        if self.model_axis_size == 1 and self.pipe_axis_size == 1:
             sharding = self.replicated_sharding()
             return jax.tree.map(lambda x: self._place(x, sharding), tree)
 
         tp = self.model_axis_size
+        pp = self.pipe_axis_size
 
         def place(path, x):
             spec = param_partition_spec(path)
@@ -262,6 +300,12 @@ class MeshPlan:
                         f"{jax.tree_util.keystr(tuple(path))}; the Megatron "
                         "rules matched this leaf by module name "
                         "(param_partition_spec)"
+                    )
+                if axis == "pipe" and np.shape(x)[dim] % pp:
+                    raise ValueError(
+                        f"pipeline axis size {pp} does not divide the stage "
+                        f"dim {dim} (={np.shape(x)[dim]}) of parameter "
+                        f"{jax.tree_util.keystr(tuple(path))}"
                     )
             return self._place(x, NamedSharding(self.mesh, spec))
 
@@ -292,10 +336,14 @@ def make_mesh_plan(
     devices: Optional[Sequence[jax.Device]] = None,
     seq_axis: int = 1,
     model_axis: int = 1,
+    pipe_axis: int = 1,
 ) -> MeshPlan:
-    """Build a ('data', 'seq', 'model') mesh. The defaults (seq_axis=1,
-    model_axis=1) mean pure DP; 'model' is laid out innermost so tensor-
-    parallel psums ride the fastest ICI links.
+    """Build a ('pipe', 'data', 'seq', 'model') mesh. The defaults mean pure
+    DP; 'model' is laid out innermost so tensor-parallel psums ride the
+    fastest ICI links, 'pipe' outermost so the pipeline's per-tick
+    collective-permute (one activation buffer per hop) crosses the slowest
+    links — the classic placement, since pipelining communicates orders of
+    magnitude less than TP.
 
     ``SVOL_MESH_DEVICES`` caps the default device set — the virtual-CPU-mesh
     test provision: XLA:CPU sizes its execution pool by device count and its
@@ -315,9 +363,10 @@ def make_mesh_plan(
     if num_devices > 0:
         devices = devices[:num_devices]
     n = len(devices)
-    assert n % (seq_axis * model_axis) == 0, (n, seq_axis, model_axis)
+    denom = pipe_axis * seq_axis * model_axis
+    assert n % denom == 0, (n, pipe_axis, seq_axis, model_axis)
     dev_array = np.asarray(devices).reshape(
-        n // (seq_axis * model_axis), seq_axis, model_axis
+        pipe_axis, n // denom, seq_axis, model_axis
     )
-    mesh = Mesh(dev_array, axis_names=("data", "seq", "model"))
+    mesh = Mesh(dev_array, axis_names=("pipe", "data", "seq", "model"))
     return MeshPlan(mesh=mesh, batch_spec=P("data"), replicated_spec=P())

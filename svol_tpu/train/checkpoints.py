@@ -63,7 +63,21 @@ def restore_checkpoint(
         "opt_state": state.opt_state,
         "step": state.step,
     }
-    restored = ckptr.restore(path, template)
+    try:
+        restored = ckptr.restore(path, template)
+    except BaseException as e:  # noqa: BLE001 — inspected, then re-raised
+        # Pipeline parallelism stores the transformer as ONE stacked
+        # 'layers' subtree instead of 'layer{i}' (parallel/pipeline.py), so
+        # a checkpoint written under the other layout mismatches the
+        # template. Retry through the converters — weights only; a full
+        # optimizer-state conversion across layouts is not supported.
+        restored = _restore_converted(ckptr, path, template, e)
+        if restore_all:
+            raise ValueError(
+                "--resume_all across pipeline layouts (sequential <-> "
+                "pp_devices>1) is not supported; use --resume (weights "
+                "only) — optimizer state cannot be converted"
+            ) from e
     state = state.replace(
         params=restored["params"], batch_stats=restored["batch_stats"]
     )
@@ -72,6 +86,53 @@ def restore_checkpoint(
             opt_state=restored["opt_state"], step=restored["step"]
         )
     return state
+
+
+def _map_param_trees(obj, fn):
+    """Apply ``fn`` to every param-shaped subtree (a dict with a
+    head/transformer path) inside ``obj`` — the params tree itself and the
+    optimizer-state trees that mirror it (adam mu/nu), recursing through
+    dicts, (named)tuples, and lists."""
+    if isinstance(obj, dict):
+        head = obj.get("head")
+        if isinstance(head, dict) and "transformer" in head:
+            return fn(obj)
+        return {k: _map_param_trees(v, fn) for k, v in obj.items()}
+    if isinstance(obj, tuple):
+        vals = [_map_param_trees(v, fn) for v in obj]
+        return type(obj)(*vals) if hasattr(obj, "_fields") else tuple(vals)
+    if isinstance(obj, list):
+        return [_map_param_trees(v, fn) for v in obj]
+    return obj
+
+
+def _restore_converted(ckptr, path: str, template, original_error):
+    """Retry a layout-mismatched restore by converting every param-shaped
+    subtree in the template between the sequential (layer{i}) and pipelined
+    (stacked 'layers') layouts so it matches the on-disk tree, then convert
+    the restored params back to the state's layout. Re-raises the original
+    error when the mismatch isn't the pipeline layout."""
+    from svol_tpu.parallel.pipeline import (
+        stack_transformer_layers,
+        unstack_transformer_layers,
+    )
+
+    params = template["params"]
+    try:
+        pipelined_state = "layers" in params["head"]["transformer"]
+    except (KeyError, TypeError):
+        raise original_error
+    to_disk = (unstack_transformer_layers if pipelined_state
+               else stack_transformer_layers)
+    to_state = (stack_transformer_layers if pipelined_state
+                else unstack_transformer_layers)
+    try:
+        alt = _map_param_trees(template, to_disk)
+        restored = ckptr.restore(path, alt)
+        restored["params"] = to_state(restored["params"])
+    except BaseException:
+        raise original_error
+    return restored
 
 
 def find_latest_checkpoint(base_dir: str) -> Optional[str]:

@@ -61,4 +61,5 @@ def test_mesh_plan_shards_batch():
 
 def test_mesh_plan_seq_axis():
     plan = make_mesh_plan(seq_axis=2)
-    assert dict(plan.mesh.shape) == {"data": 4, "seq": 2, "model": 1}
+    assert dict(plan.mesh.shape) == {
+        "pipe": 1, "data": 4, "seq": 2, "model": 1}
