@@ -48,12 +48,17 @@ def train_val(config: SvolConfig, logger) -> None:
         seq_axis=config.train.sp_devices,
         model_axis=config.train.tp_devices,
         pipe_axis=config.train.pp_devices,
+        zero_opt=config.train.zero_opt,
+        fsdp=config.train.fsdp,
     )
     plan.set_active()  # in-model seq/tensor-parallel constraints target this mesh
+    state_note = (", fsdp (zero-3) state sharding" if plan.fsdp
+                  else ", zero-1 optimizer sharding" if plan.zero_opt else "")
     logger.info(
         f"mesh: {plan.mesh} (pipe={plan.pipe_axis_size}, "
         f"data={plan.data_axis_size}, "
-        f"seq={plan.seq_axis_size}, model={plan.model_axis_size})"
+        f"seq={plan.seq_axis_size}, model={plan.model_axis_size}"
+        f"{state_note})"
     )
     if config.data.bs % plan.data_axis_size:
         raise ValueError(

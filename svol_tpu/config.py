@@ -201,6 +201,19 @@ class TrainConfig:
     # DDP-rank semantics (per-micro loss normalization / dropout / BN).
     # Mutually exclusive with steps_per_dispatch>1.
     accum_steps: int = 1
+    # ZeRO stage 1 (parallel/mesh.py::zero_partition_spec): optimizer
+    # moments (adam mu/nu, sgd trace) shard over the 'data' mesh axis —
+    # removes (dp-1)/dp of the optimizer-state HBM per device while params
+    # stay replicated and the step stays math-identical
+    # (tests/test_zero_opt.py). The reference's DDP replicates optimizer
+    # state on every rank (train.py:94-99).
+    zero_opt: bool = False
+    # ZeRO-3 / FSDP (parallel/mesh.py::fsdp_partition_spec): parameters AND
+    # optimizer moments shard over the 'data' mesh axis — each rank holds a
+    # disjoint 1/dp slice of all state; GSPMD inserts the per-layer weight
+    # all-gathers and gradient reduce-scatters. Supersedes zero_opt.
+    # Math-identical to pure DP (tests/test_fsdp.py).
+    fsdp: bool = False
 
 
 @dataclass
@@ -428,6 +441,8 @@ _FLAG_MAP = {
     "pp_microbatches": ("train", "pp_microbatches"),
     "steps_per_dispatch": ("train", "steps_per_dispatch"),
     "accum_steps": ("train", "accum_steps"),
+    "zero_opt": ("train", "zero_opt"),
+    "fsdp": ("train", "fsdp"),
     "bbox_type": ("eval", "bbox_type"),
     "no_sort_results": ("eval", "no_sort_results"),
     "calibration_batches": ("eval", "calibration_batches"),
@@ -439,7 +454,7 @@ _BOOL_STORE_TRUE = {
     "eval_untrained",
     "resume_all", "freeze_backbone", "no_sort_results", "use_pallas_attention",
     "use_flash_attention", "quantize_attention", "profile", "merged_matcher",
-    "fast_val",
+    "fast_val", "zero_opt", "fsdp",
 }
 
 

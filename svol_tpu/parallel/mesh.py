@@ -114,16 +114,26 @@ def shard_attention_heads(x: Any) -> Any:
 _TP_COL = {"q_proj", "k_proj", "v_proj", "fc1"}  # split output features
 _TP_ROW = {"out_proj", "fc2"}  # split input features -> psum after
 
+# Optimizer-moment leaf names for ZeRO-1 sharding (--zero_opt): adam/adamw
+# first and second moments, sgd momentum. These exist only under the
+# TrainState's opt_state subtree (we additionally require 'opt_state' in the
+# path so a model parameter named e.g. 'mu' can never match).
+_ZERO_MOMENT_NAMES = frozenset({"mu", "nu", "trace"})
+
+
+def _path_names(path: Sequence[Any]) -> tuple:
+    return tuple(
+        p if isinstance(p, str)
+        else getattr(p, "key", None) or getattr(p, "name", None)
+        for p in path
+    )
+
 
 def param_partition_spec(path: Sequence[Any]) -> P:
     """PartitionSpec for one parameter (or mirrored optimizer-state) leaf
     under tensor parallelism, from its tree path. Accepts jax key entries
     (DictKey/GetAttrKey/...) or plain strings (tests)."""
-    names = tuple(
-        p if isinstance(p, str)
-        else getattr(p, "key", None) or getattr(p, "name", None)
-        for p in path
-    )
+    names = _path_names(path)
     if len(names) < 2:
         return P()
     if "layers" in names and "transformer" in names:
@@ -141,6 +151,126 @@ def param_partition_spec(path: Sequence[Any]) -> P:
     if mod in _TP_ROW and leaf == "kernel":
         return P("model", None)
     return P()
+
+
+def zero_partition_spec(path: Sequence[Any], shape: Sequence[int],
+                        data_axis_size: int) -> P:
+    """ZeRO-1 PartitionSpec for one TrainState leaf: optimizer moments
+    (adam/adamw mu+nu, sgd trace) additionally shard one dimension over the
+    'data' mesh axis, on top of whatever the Megatron/pipeline rules
+    (``param_partition_spec``) already assign from the mirrored param path.
+
+    The data-parallel ranks hold disjoint 1/dp slices of the moment buffers
+    — the ZeRO stage-1 memory partition (adam state is 2x the params; this
+    removes (dp-1)/dp of it per device). Parameters themselves stay
+    replicated (stage 1, not FSDP), so the forward/backward is untouched;
+    only the optimizer elementwise update runs sharded, and XLA all-gathers
+    the parameter update where the replicated new params are formed. The
+    reference cannot express any of this (DDP replicates optimizer state
+    per rank — train.py:94-99 + apex DDP).
+
+    Dim choice: the largest dimension not already taken by a tp/pp rule and
+    divisible by the data-axis size; leaves with no such dimension (scalars
+    like adam's ``count``, tiny biases) stay replicated — correct, just not
+    partitioned.
+    """
+    base = param_partition_spec(path)
+    names = _path_names(path)
+    if "opt_state" not in names or not _ZERO_MOMENT_NAMES & set(names):
+        return base
+    spec = list(base) + [None] * (len(shape) - len(base))
+    candidates = [
+        d for d in range(len(shape))
+        if spec[d] is None and shape[d] > 1 and shape[d] % data_axis_size == 0
+    ]
+    if not candidates:
+        return base
+    spec[max(candidates, key=lambda d: shape[d])] = "data"
+    return P(*spec)
+
+
+def fsdp_partition_spec(path: Sequence[Any], shape: Sequence[int],
+                        data_axis_size: int) -> P:
+    """Fully-sharded-data-parallel (ZeRO-3) PartitionSpec for one TrainState
+    leaf: parameters AND their mirrored optimizer moments shard one dimension
+    over the 'data' mesh axis, on top of the Megatron/pipeline rules.
+
+    Each data-parallel rank holds a disjoint 1/dp slice of every weight and
+    moment buffer, so total state HBM per device drops by (dp-1)/dp — the
+    full ZeRO-3 partition. Under GSPMD this costs no hand-written
+    communication: the forward/backward all-gathers each weight where it is
+    consumed and reduce-scatters its gradient where it is produced (XLA
+    chooses gather-weights vs. sharded-contraction per op from its cost
+    model), and the optimizer update then runs fully sharded — the adam
+    elementwise math never touches a replicated buffer. Same dim-choice rule
+    as ZeRO-1 (largest free dim divisible by dp); scalars/odd dims stay
+    replicated. Batch stats stay replicated: they are O(channels) and their
+    cross-batch mean is already a psum.
+
+    The reference cannot express any stage of ZeRO (apex DDP replicates
+    params and optimizer state per rank — /root/reference/train.py:94-99).
+    """
+    base = param_partition_spec(path)
+    names = _path_names(path)
+    is_param = "params" in names and "opt_state" not in names
+    is_moment = "opt_state" in names and bool(_ZERO_MOMENT_NAMES & set(names))
+    if not (is_param or is_moment):
+        return base
+    spec = list(base) + [None] * (len(shape) - len(base))
+    candidates = [
+        d for d in range(len(shape))
+        if spec[d] is None and shape[d] > 1 and shape[d] % data_axis_size == 0
+    ]
+    if not candidates:
+        return base
+    spec[max(candidates, key=lambda d: shape[d])] = "data"
+    return P(*spec)
+
+
+def _state_spec_fn(plan: "MeshPlan"):
+    """The PartitionSpec rule a plan applies to TrainState leaves:
+    fsdp > zero-1 > megatron/pipeline-only. Returns None when the plan
+    implies plain replication (no per-leaf walk needed)."""
+    if plan.fsdp and plan.data_axis_size > 1:
+        return lambda path, shape: fsdp_partition_spec(
+            path, shape, plan.data_axis_size)
+    if plan.zero_opt and plan.data_axis_size > 1:
+        return lambda path, shape: zero_partition_spec(
+            path, shape, plan.data_axis_size)
+    if plan.model_axis_size > 1 or plan.pipe_axis_size > 1:
+        return lambda path, shape: param_partition_spec(path)
+    return None
+
+
+def constrain_zero_state(tree: Any) -> Any:
+    """Inside-jit layout fixed point for ZeRO-1 (``--zero_opt``) and FSDP
+    (``--fsdp``).
+
+    Applied to the NEW TrainState at the end of each train-step body
+    (train/steps.py): pins every leaf to the same spec ``replicate`` placed
+    the input state with — moments (and, under fsdp, params) 'data'-sharded,
+    everything else replicated (or tp/pp-sharded). Without it GSPMD is free
+    to propagate layouts across the optimizer update (e.g. the data-sharded
+    update tensor into the replicated new params), and the step's output
+    state would not match its input layout — every dispatch would then pay a
+    host-visible reshard. The constraint makes the required collective part
+    of the compiled program instead. No-op when no plan is active or the
+    plan requests neither ZeRO stage.
+    """
+    plan = _active_plan.get()
+    if plan is None or plan.data_axis_size == 1:
+        return tree
+    if not (plan.zero_opt or plan.fsdp):
+        return tree
+    spec_fn = _state_spec_fn(plan)
+
+    def pin(path, x):
+        spec = spec_fn(path, getattr(x, "shape", ()))
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(plan.mesh, spec)
+        )
+
+    return jax.tree_util.tree_map_with_path(pin, tree)
 
 
 def shard_video_tokens(x: Any, token_axis: int = 1) -> Any:
@@ -174,6 +304,11 @@ class MeshPlan:
     mesh: Mesh
     batch_spec: P  # activations/inputs: shard batch over 'data'
     replicated_spec: P  # parameters/optimizer state
+    # ZeRO-1: shard optimizer moments over 'data' (zero_partition_spec)
+    zero_opt: bool = False
+    # ZeRO-3 / FSDP: shard params AND moments over 'data'
+    # (fsdp_partition_spec); supersedes zero_opt when both are set
+    fsdp: bool = False
 
     @property
     def data_axis_size(self) -> int:
@@ -277,8 +412,12 @@ class MeshPlan:
         path components, so optimizer-state leaves that mirror the param
         tree (adam mu/nu) pick up the same shardings automatically. With a
         non-trivial 'pipe' axis, the transformer's stacked per-stage
-        parameters (parallel/pipeline.py) shard their stage axis likewise."""
-        if self.model_axis_size == 1 and self.pipe_axis_size == 1:
+        parameters (parallel/pipeline.py) shard their stage axis likewise.
+        With ``zero_opt``, optimizer-moment leaves additionally shard one
+        dimension over 'data' (ZeRO stage 1, ``zero_partition_spec``); with
+        ``fsdp``, parameters shard too (ZeRO-3, ``fsdp_partition_spec``)."""
+        spec_fn = _state_spec_fn(self)
+        if spec_fn is None:
             sharding = self.replicated_sharding()
             return jax.tree.map(lambda x: self._place(x, sharding), tree)
 
@@ -286,7 +425,7 @@ class MeshPlan:
         pp = self.pipe_axis_size
 
         def place(path, x):
-            spec = param_partition_spec(path)
+            spec = spec_fn(path, np.shape(x))
             # the rules match bare module names (q_proj/fc1/...) at any tree
             # depth, while config.validate only checks the transformer-head
             # dims — validate each matched leaf's ACTUAL dim here so a
@@ -337,6 +476,8 @@ def make_mesh_plan(
     seq_axis: int = 1,
     model_axis: int = 1,
     pipe_axis: int = 1,
+    zero_opt: bool = False,
+    fsdp: bool = False,
 ) -> MeshPlan:
     """Build a ('pipe', 'data', 'seq', 'model') mesh. The defaults mean pure
     DP; 'model' is laid out innermost so tensor-parallel psums ride the
@@ -369,4 +510,5 @@ def make_mesh_plan(
         pipe_axis, n // denom, seq_axis, model_axis
     )
     mesh = Mesh(dev_array, axis_names=("pipe", "data", "seq", "model"))
-    return MeshPlan(mesh=mesh, batch_spec=P("data"), replicated_spec=P())
+    return MeshPlan(mesh=mesh, batch_spec=P("data"), replicated_spec=P(),
+                    zero_opt=zero_opt, fsdp=fsdp)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from svol_tpu.config import SvolConfig
 from svol_tpu.losses.criterion import SetCriterion
 from svol_tpu.ops.boxes import box_cxcywh_to_xyxy
+from svol_tpu.parallel.mesh import constrain_zero_state
 from svol_tpu.train.state import TrainState
 
 
@@ -146,6 +147,7 @@ def make_accum_train_step(
         new_state = state.apply_gradients(grads=grads)
         if has_bn:
             new_state = new_state.replace(batch_stats=batch_stats)
+        new_state = constrain_zero_state(new_state)  # ZeRO-1 layout pin
         metrics = {k: v.mean() for k, v in losses_stacked.items()}
         metrics["grad_norm"] = optax_global_norm(grads)
         return new_state, metrics
@@ -185,6 +187,10 @@ def _train_step_body(criterion: SetCriterion, state: TrainState,
     new_state = state.apply_gradients(grads=grads)
     if "batch_stats" in mutated:
         new_state = new_state.replace(batch_stats=mutated["batch_stats"])
+    # ZeRO-1: pin the output state to the input layout (moments data-
+    # sharded, params replicated) so the step has a layout fixed point.
+    # No-op unless the active plan requests zero_opt (parallel/mesh.py).
+    new_state = constrain_zero_state(new_state)
 
     metrics = {k: v for k, v in losses.items()}
     metrics["grad_norm"] = optax_global_norm(grads)
