@@ -260,6 +260,7 @@ def main(argv=None) -> None:
         seq_axis=config.train.sp_devices,
         model_axis=config.train.tp_devices,
         pipe_axis=config.train.pp_devices,
+        expert_axis=config.train.ep_devices,
     )
     if config.data.eval_bs % plan.data_axis_size == 0:
         state = plan.replicate(state)

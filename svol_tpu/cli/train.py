@@ -48,6 +48,7 @@ def train_val(config: SvolConfig, logger) -> None:
         seq_axis=config.train.sp_devices,
         model_axis=config.train.tp_devices,
         pipe_axis=config.train.pp_devices,
+        expert_axis=config.train.ep_devices,
         zero_opt=config.train.zero_opt,
         fsdp=config.train.fsdp,
     )
@@ -56,7 +57,7 @@ def train_val(config: SvolConfig, logger) -> None:
                   else ", zero-1 optimizer sharding" if plan.zero_opt else "")
     logger.info(
         f"mesh: {plan.mesh} (pipe={plan.pipe_axis_size}, "
-        f"data={plan.data_axis_size}, "
+        f"data={plan.data_axis_size}, expert={plan.expert_axis_size}, "
         f"seq={plan.seq_axis_size}, model={plan.model_axis_size}"
         f"{state_note})"
     )

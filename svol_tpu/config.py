@@ -106,6 +106,16 @@ class ModelConfig:
     # attention amax values; they are simply unused). Serving with int8
     # attention is a single-chip/DP configuration.
     quantize_attention: bool = False
+    # Mixture-of-Experts FFN (models/moe.py): replace the cross-modal
+    # transformer's dense MLPs with Switch-style top-1 routed expert MLPs.
+    # 0/1 = dense (reference parity). Shards over the 'expert' mesh axis
+    # (--ep_devices); capability beyond the reference (dense-FFN only).
+    moe_experts: int = 0
+    # Per-expert token buffer = ceil(capacity_factor * tokens / experts);
+    # overflow tokens skip the MoE (the residual carries them).
+    moe_capacity_factor: float = 1.25
+    # Weight of the Switch load-balancing auxiliary loss in the objective.
+    moe_aux_weight: float = 0.01
     # TPU stem: 'space_to_depth' is the mathematically-equivalent MXU-friendly
     # rearrangement of the 7x7/s2 entry conv (models/resnet.py); checkpoints
     # convert losslessly between the two (utils/torch_port.py)
@@ -177,6 +187,12 @@ class TrainConfig:
     # sp_devices == tp_devices == 1 (the in-layer seq/model constraints are
     # formulated per-stage, not per-buffer) and the svanet head.
     pp_devices: int = 1
+    # 'expert' mesh axis: expert parallelism — the MoE FFN's experts
+    # (--moe_experts, models/moe.py) shard across devices; dispatch/combine
+    # become an all-to-all (parallel/mesh.py::shard_expert_tokens). Must
+    # divide moe_experts. Data-parallel size becomes
+    # total / (sp * tp * pp * ep).
+    ep_devices: int = 1
     # Microbatches per batch for pipeline parallelism (0 = num_layers, the
     # minimum that fills every stage). More microbatches shrink the GPipe
     # bubble (S-1)/(M+S-1) at the cost of smaller per-stage matmuls; must
@@ -294,6 +310,13 @@ class SvolConfig:
                     "the in-layer seq/model sharding constraints are "
                     "formulated per-example, not per-stage-buffer "
                     "(parallel/pipeline.py)")
+            if m.moe_experts > 1:
+                raise ValueError(
+                    "pp_devices > 1 is incompatible with moe_experts > 1: "
+                    "the pipeline's stacked-stage partition rule takes the "
+                    "whole transformer subtree (parallel/mesh.py::"
+                    "param_partition_spec), so expert params could not also "
+                    "shard over 'expert'")
             mb = self.train.pp_microbatches or m.num_layers
             if d.bs % mb:
                 raise ValueError(
@@ -301,6 +324,26 @@ class SvolConfig:
                     f"pp_microbatches ({mb})")
         if self.train.pp_microbatches < 0:
             raise ValueError("pp_microbatches must be >= 0")
+        if m.moe_experts < 0:
+            raise ValueError("moe_experts must be >= 0")
+        if m.moe_experts > 1 and m.sketch_head != "svanet":
+            raise ValueError(
+                "moe_experts > 1 supports the svanet head only — the MoE "
+                "FFN is wired into the cross-modal transformer "
+                "(models/moe.py)")
+        ep = self.train.ep_devices
+        if ep < 1:
+            raise ValueError("ep_devices must be >= 1")
+        if ep > 1:
+            if m.moe_experts <= 1:
+                raise ValueError(
+                    "ep_devices > 1 requires moe_experts > 1 — the 'expert' "
+                    "mesh axis shards the MoE FFN's experts (models/moe.py)")
+            if m.moe_experts % ep:
+                raise ValueError(
+                    f"ep_devices ({ep}) must divide moe_experts "
+                    f"({m.moe_experts}) — each device holds "
+                    "moe_experts/ep_devices experts")
         if self.train.accum_steps < 1:
             raise ValueError("accum_steps must be >= 1")
         n = self.train.steps_per_dispatch
@@ -406,6 +449,9 @@ _FLAG_MAP = {
     "quantize_attention": ("model", "quantize_attention"),
     "resnet_stem": ("model", "resnet_stem"),
     "compute_dtype": ("model", "compute_dtype"),
+    "moe_experts": ("model", "moe_experts"),
+    "moe_capacity_factor": ("model", "moe_capacity_factor"),
+    "moe_aux_weight": ("model", "moe_aux_weight"),
     "matcher": ("loss", "matcher"),
     "merged_matcher": ("loss", "merged_matcher"),
     "set_cost_bbox": ("loss", "set_cost_bbox"),
@@ -438,6 +484,7 @@ _FLAG_MAP = {
     "sp_devices": ("train", "sp_devices"),
     "tp_devices": ("train", "tp_devices"),
     "pp_devices": ("train", "pp_devices"),
+    "ep_devices": ("train", "ep_devices"),
     "pp_microbatches": ("train", "pp_microbatches"),
     "steps_per_dispatch": ("train", "steps_per_dispatch"),
     "accum_steps": ("train", "accum_steps"),

@@ -46,6 +46,28 @@ class CrossModalTransformerLayer(nn.Module):
     use_pallas: bool = False
     use_flash: bool = False
     flash_int8: bool = False
+    # Mixture-of-Experts FFN (models/moe.py): >1 replaces both dense MLPs
+    # with Switch-routed expert MLPs, shardable over the 'expert' mesh axis.
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.25
+
+    def _mlp(self, name: str) -> nn.Module:
+        if self.moe_experts > 1:
+            from svol_tpu.models.moe import MoEMLP
+
+            return MoEMLP(
+                num_experts=self.moe_experts,
+                hidden_features=self.dim_feedforward,
+                out_features=self.d_model,
+                capacity_factor=self.moe_capacity_factor,
+                activation=self.activation,
+                dtype=self.dtype,
+                name=name,
+            )
+        return TransformerMLP(
+            hidden_features=self.dim_feedforward, out_features=self.d_model,
+            activation=self.activation, dtype=self.dtype, name=name,
+        )
 
     @nn.compact
     def __call__(
@@ -81,13 +103,7 @@ class CrossModalTransformerLayer(nn.Module):
             name="content_self_attn",
         )(qk, qk, mem, deterministic=deterministic, need_weights=need_weights)
         mem = ln("norm2")(attn_out + mem)
-        mem = shard_video_tokens(ln("norm3")(
-            mem
-            + TransformerMLP(
-                hidden_features=self.dim_feedforward, out_features=self.d_model,
-                activation=self.activation, dtype=self.dtype, name="mlp1",
-            )(mem)
-        ))
+        mem = shard_video_tokens(ln("norm3")(mem + self._mlp("mlp1")(mem)))
 
         # --- (3) query-token self-attention ------------------------------
         qk = out + query_pos
@@ -106,13 +122,7 @@ class CrossModalTransformerLayer(nn.Module):
           key_padding_mask=vid_pad_mask, deterministic=deterministic,
           need_weights=need_weights)
         out = ln("norm5")(out + attn_out)
-        out = ln("norm6")(
-            out
-            + TransformerMLP(
-                hidden_features=self.dim_feedforward, out_features=self.d_model,
-                activation=self.activation, dtype=self.dtype, name="mlp2",
-            )(out)
-        )
+        out = ln("norm6")(out + self._mlp("mlp2")(out))
 
         return mem, out, att1, att2, att3, att4
 
@@ -134,6 +144,9 @@ class CrossModalTransformer(nn.Module):
     use_pallas: bool = False
     use_flash: bool = False
     flash_int8: bool = False
+    # MoE FFN (models/moe.py); incompatible with pipeline (config.validate)
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.25
     # GPipe pipeline parallelism (parallel/pipeline.py): stack the layers
     # into one vmapped submodule ("layers", stage axis shardable over the
     # mesh's 'pipe' axis) and rotate microbatches through the stages.
@@ -177,6 +190,8 @@ class CrossModalTransformer(nn.Module):
                 use_pallas=self.use_pallas,
                 use_flash=self.use_flash,
                 flash_int8=self.flash_int8,
+                moe_experts=self.moe_experts,
+                moe_capacity_factor=self.moe_capacity_factor,
                 name=f"layer{i}",
             )(mem, src_skch, out, vid_pad_mask, vid_pos, query_pos,
               deterministic=deterministic, need_weights=need_weights)

@@ -58,6 +58,8 @@ class SketchLocalizationModel(nn.Module):
                 use_flash=cfg.model.use_flash_attention,
                 flash_int8=(cfg.model.quantize == "int8"
                             and cfg.model.quantize_attention),
+                moe_experts=cfg.model.moe_experts,
+                moe_capacity_factor=cfg.model.moe_capacity_factor,
                 pipeline=cfg.train.pp_devices > 1,
                 pp_microbatches=cfg.train.pp_microbatches,
                 name="head",

@@ -48,6 +48,9 @@ class SVANet(nn.Module):
     use_pallas: bool = False
     use_flash: bool = False
     flash_int8: bool = False
+    # MoE FFN in the cross-modal transformer (models/moe.py)
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.25
     # pipeline parallelism over the transformer layers (parallel/pipeline.py)
     pipeline: bool = False
     pp_microbatches: int = 0
@@ -102,6 +105,8 @@ class SVANet(nn.Module):
             use_pallas=self.use_pallas,
             use_flash=self.use_flash,
             flash_int8=self.flash_int8,
+            moe_experts=self.moe_experts,
+            moe_capacity_factor=self.moe_capacity_factor,
             pipeline=self.pipeline,
             pp_microbatches=self.pp_microbatches,
             name="transformer",

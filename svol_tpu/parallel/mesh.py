@@ -80,6 +80,26 @@ def shard_pipeline_stages(x: Any) -> Any:
     )
 
 
+def shard_expert_tokens(x: Any) -> Any:
+    """Expert-parallel sharding constraint for (E, B, C, D) dispatched-token
+    tensors INSIDE jitted model code (models/moe.py): the expert axis over
+    'expert', the batch axis over 'data'. With the MoE dispatch einsum's
+    output pinned this way (its token-major input is 'data'-sharded), GSPMD
+    lowers the dispatch and combine contractions to an all-to-all over the
+    'expert' axis — each device computes only its own experts, whose stacked
+    parameters shard the same way (param_partition_spec). No-op when no plan
+    is active or the 'expert' axis is trivial."""
+    plan = _active_plan.get()
+    if plan is None or plan.expert_axis_size == 1:
+        return x
+    spec = [None] * x.ndim
+    spec[0] = "expert"
+    spec[1] = "data"
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(plan.mesh, P(*spec))
+    )
+
+
 def shard_attention_heads(x: Any) -> Any:
     """Tensor-parallel sharding constraint for (B, H, L, head_dim) attention
     tensors INSIDE jitted model code: heads over 'model', batch over 'data',
@@ -143,13 +163,20 @@ def param_partition_spec(path: Sequence[Any]) -> P:
         # transformer subtree so e.g. bbox_embed's layer{i} can never match.
         return P("pipe")
     mod, leaf = names[-2], names[-1]
+    # MoE expert-stacked parameters (models/moe.py): nn.vmap stacks each
+    # expert MLP's fc1/fc2 with a leading (E, ...) expert axis, sharded over
+    # 'expert'; the inner feature dims keep the Megatron column/row rules so
+    # EP composes with TP. The router replicates (no rule matches it).
+    expert = ("expert",) if "experts" in names else ()
     if mod in _TP_COL:
         if leaf == "kernel":
-            return P(None, "model")
+            return P(*expert, None, "model")
         if leaf == "bias":
-            return P("model")
+            return P(*expert, "model")
     if mod in _TP_ROW and leaf == "kernel":
-        return P("model", None)
+        return P(*expert, "model", None)
+    if expert:
+        return P("expert")
     return P()
 
 
@@ -237,7 +264,8 @@ def _state_spec_fn(plan: "MeshPlan"):
     if plan.zero_opt and plan.data_axis_size > 1:
         return lambda path, shape: zero_partition_spec(
             path, shape, plan.data_axis_size)
-    if plan.model_axis_size > 1 or plan.pipe_axis_size > 1:
+    if (plan.model_axis_size > 1 or plan.pipe_axis_size > 1
+            or plan.expert_axis_size > 1):
         return lambda path, shape: param_partition_spec(path)
     return None
 
@@ -325,6 +353,10 @@ class MeshPlan:
     @property
     def pipe_axis_size(self) -> int:
         return dict(self.mesh.shape).get("pipe", 1)
+
+    @property
+    def expert_axis_size(self) -> int:
+        return dict(self.mesh.shape).get("expert", 1)
 
     def batch_sharding(self) -> NamedSharding:
         return NamedSharding(self.mesh, self.batch_spec)
@@ -423,6 +455,7 @@ class MeshPlan:
 
         tp = self.model_axis_size
         pp = self.pipe_axis_size
+        ep = self.expert_axis_size
 
         def place(path, x):
             spec = spec_fn(path, np.shape(x))
@@ -443,6 +476,12 @@ class MeshPlan:
                 if axis == "pipe" and np.shape(x)[dim] % pp:
                     raise ValueError(
                         f"pipeline axis size {pp} does not divide the stage "
+                        f"dim {dim} (={np.shape(x)[dim]}) of parameter "
+                        f"{jax.tree_util.keystr(tuple(path))}"
+                    )
+                if axis == "expert" and np.shape(x)[dim] % ep:
+                    raise ValueError(
+                        f"expert axis size {ep} does not divide the expert "
                         f"dim {dim} (={np.shape(x)[dim]}) of parameter "
                         f"{jax.tree_util.keystr(tuple(path))}"
                     )
@@ -476,15 +515,18 @@ def make_mesh_plan(
     seq_axis: int = 1,
     model_axis: int = 1,
     pipe_axis: int = 1,
+    expert_axis: int = 1,
     zero_opt: bool = False,
     fsdp: bool = False,
 ) -> MeshPlan:
-    """Build a ('pipe', 'data', 'seq', 'model') mesh. The defaults mean pure
-    DP; 'model' is laid out innermost so tensor-parallel psums ride the
-    fastest ICI links, 'pipe' outermost so the pipeline's per-tick
-    collective-permute (one activation buffer per hop) crosses the slowest
-    links — the classic placement, since pipelining communicates orders of
-    magnitude less than TP.
+    """Build a ('pipe', 'data', 'expert', 'seq', 'model') mesh. The defaults
+    mean pure DP; 'model' is laid out innermost so tensor-parallel psums ride
+    the fastest ICI links, 'expert' between 'data' and 'seq' (the MoE
+    all-to-all moves one activation buffer per layer — heavier than the
+    pipeline's permute, far lighter than TP's per-block psums), and 'pipe'
+    outermost so the per-tick collective-permute (one activation buffer per
+    hop) crosses the slowest links — the classic placement, since pipelining
+    communicates orders of magnitude less than TP.
 
     ``SVOL_MESH_DEVICES`` caps the default device set — the virtual-CPU-mesh
     test provision: XLA:CPU sizes its execution pool by device count and its
@@ -504,11 +546,13 @@ def make_mesh_plan(
     if num_devices > 0:
         devices = devices[:num_devices]
     n = len(devices)
-    denom = pipe_axis * seq_axis * model_axis
-    assert n % denom == 0, (n, pipe_axis, seq_axis, model_axis)
+    denom = pipe_axis * expert_axis * seq_axis * model_axis
+    assert n % denom == 0, (n, pipe_axis, expert_axis, seq_axis, model_axis)
     dev_array = np.asarray(devices).reshape(
-        pipe_axis, n // denom, seq_axis, model_axis
+        pipe_axis, n // denom, expert_axis, seq_axis, model_axis
     )
-    mesh = Mesh(dev_array, axis_names=("pipe", "data", "seq", "model"))
+    mesh = Mesh(
+        dev_array, axis_names=("pipe", "data", "expert", "seq", "model")
+    )
     return MeshPlan(mesh=mesh, batch_spec=P("data"), replicated_spec=P(),
                     zero_opt=zero_opt, fsdp=fsdp)

@@ -37,8 +37,10 @@ def make_train_step(
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics)."""
 
+    moe_w = _moe_aux_weight(config)
+
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
-        return _train_step_body(criterion, state, batch, rng)
+        return _train_step_body(criterion, state, batch, rng, moe_w)
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
@@ -65,10 +67,12 @@ def make_multi_train_step(
     sub-step, in execution order.
     """
 
+    moe_w = _moe_aux_weight(config)
+
     def multi_step(state: TrainState, stacked_batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):
         def body(st, batch):
-            return _train_step_body(criterion, st, batch, rng)
+            return _train_step_body(criterion, st, batch, rng, moe_w)
 
         return jax.lax.scan(body, state, stacked_batch)
 
@@ -101,6 +105,8 @@ def make_accum_train_step(
     accumulated (mean) gradient — the tensor the optimizer consumes.
     """
 
+    moe_w = _moe_aux_weight(config)
+
     def accum_step(state: TrainState, stacked_batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):
         base_rng = jax.random.fold_in(rng, state.step)
@@ -110,6 +116,9 @@ def make_accum_train_step(
             variables = {"params": params}
             if has_bn:
                 variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"] if has_bn else []
+            if moe_w:
+                mutable = mutable + ["moe"]
             outputs, mutated = state.apply_fn(
                 variables,
                 src_sketch=batch["src_sketch"],
@@ -118,12 +127,17 @@ def make_accum_train_step(
                 src_video_mask=batch["src_video_mask"],
                 train=True,
                 rngs={"dropout": jax.random.fold_in(base_rng, k)},
-                mutable=["batch_stats"] if has_bn else [],
+                mutable=mutable,
             )
             losses = criterion(
                 outputs,
                 {"boxes": batch["boxes"], "box_valid": batch["box_valid"]},
             )
+            if moe_w:
+                aux = _moe_aux_total(mutated)
+                losses = dict(losses)
+                losses["loss_moe_aux"] = aux
+                losses["loss_overall"] = losses["loss_overall"] + moe_w * aux
             return losses["loss_overall"], (losses, mutated)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -155,8 +169,22 @@ def make_accum_train_step(
     return jax.jit(accum_step, donate_argnums=(0,) if donate else ())
 
 
+def _moe_aux_weight(config: SvolConfig) -> float:
+    """Switch load-balancing weight; 0.0 (a traced no-op) when MoE is off —
+    the metric dict then stays byte-identical to the reference's."""
+    return (config.model.moe_aux_weight
+            if config.model.moe_experts > 1 else 0.0)
+
+
+def _moe_aux_total(mutated: Dict) -> jnp.ndarray:
+    """Sum the sown Switch aux losses (models/moe.py) over all MoE layers."""
+    return sum(jnp.sum(jnp.asarray(v))
+               for v in jax.tree.leaves(mutated.get("moe", {})))
+
+
 def _train_step_body(criterion: SetCriterion, state: TrainState,
-                     batch: Dict[str, jnp.ndarray], rng: jax.Array):
+                     batch: Dict[str, jnp.ndarray], rng: jax.Array,
+                     moe_aux_weight: float = 0.0):
     rng = jax.random.fold_in(rng, state.step)
 
     def loss_fn(params):
@@ -164,6 +192,9 @@ def _train_step_body(criterion: SetCriterion, state: TrainState,
         has_bn = state.batch_stats is not None and len(state.batch_stats) > 0
         if has_bn:
             variables["batch_stats"] = state.batch_stats
+        mutable = ["batch_stats"] if has_bn else []
+        if moe_aux_weight:
+            mutable = mutable + ["moe"]
         outputs, mutated = state.apply_fn(
             variables,
             src_sketch=batch["src_sketch"],
@@ -172,12 +203,19 @@ def _train_step_body(criterion: SetCriterion, state: TrainState,
             src_video_mask=batch["src_video_mask"],
             train=True,
             rngs={"dropout": rng},
-            mutable=["batch_stats"] if has_bn else [],
+            mutable=mutable,
         )
         losses = criterion(
             outputs,
             {"boxes": batch["boxes"], "box_valid": batch["box_valid"]},
         )
+        if moe_aux_weight:
+            aux = _moe_aux_total(mutated)
+            losses = dict(losses)
+            losses["loss_moe_aux"] = aux
+            losses["loss_overall"] = (
+                losses["loss_overall"] + moe_aux_weight * aux
+            )
         return losses["loss_overall"], (losses, mutated)
 
     (loss, (losses, mutated)), grads = jax.value_and_grad(

@@ -62,4 +62,4 @@ def test_mesh_plan_shards_batch():
 def test_mesh_plan_seq_axis():
     plan = make_mesh_plan(seq_axis=2)
     assert dict(plan.mesh.shape) == {
-        "pipe": 1, "data": 4, "seq": 2, "model": 1}
+        "pipe": 1, "data": 4, "expert": 1, "seq": 2, "model": 1}
