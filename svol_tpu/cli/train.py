@@ -109,10 +109,31 @@ def train_val(config: SvolConfig, logger) -> None:
     logger.info(f"model parameters: {n_params / 1e6:.2f}M")
 
     if config.train.resume:
-        state = restore_checkpoint(
-            config.train.resume, state, restore_all=config.train.resume_all
-        )
-        logger.info(f"resumed from {config.train.resume} at step {int(state.step)}")
+        if config.train.moe_upcycle:
+            # sparse upcycling: the checkpoint is a DENSE model; every MoE
+            # expert starts as a copy of its dense MLP (models/moe.py)
+            if config.model.moe_experts <= 1:
+                raise ValueError("--moe_upcycle requires --moe_experts > 1")
+            if config.train.resume_all:
+                raise ValueError(
+                    "--moe_upcycle is weights-only (optimizer state shapes "
+                    "differ between the dense and MoE layouts); drop "
+                    "--resume_all")
+            from svol_tpu.train.checkpoints import restore_upcycled
+
+            state = restore_upcycled(
+                config.train.resume, state, config.model.moe_experts,
+                jax.random.PRNGKey(config.train.seed),
+            )
+            state = plan.replicate(state)  # re-pin the converted params
+            logger.info(
+                f"upcycled dense checkpoint {config.train.resume} into "
+                f"{config.model.moe_experts} experts")
+        else:
+            state = restore_checkpoint(
+                config.train.resume, state, restore_all=config.train.resume_all
+            )
+            logger.info(f"resumed from {config.train.resume} at step {int(state.step)}")
 
     n_dispatch = config.train.steps_per_dispatch
     n_accum = config.train.accum_steps  # mutually exclusive (config.validate)

@@ -157,6 +157,11 @@ class TrainConfig:
     results_dir: str = "results"
     resume: Optional[str] = None
     resume_all: bool = False
+    # Sparse upcycling (models/moe.py): treat --resume's checkpoint as a
+    # DENSE model and convert it into this config's MoE layout — every
+    # expert starts as a copy of the dense MLP, routers init fresh.
+    # Weights-only (optimizer state shapes differ); needs moe_experts > 1.
+    moe_upcycle: bool = False
     start_iter: Optional[int] = None
     num_iters: int = 50_000
     early_stop_patience: int = 10
@@ -469,6 +474,7 @@ _FLAG_MAP = {
     "results_dir": ("train", "results_dir"),
     "resume": ("train", "resume"),
     "resume_all": ("train", "resume_all"),
+    "moe_upcycle": ("train", "moe_upcycle"),
     "start_iter": ("train", "start_iter"),
     "num_iters": ("train", "num_iters"),
     "early_stop_patience": ("train", "early_stop_patience"),
@@ -501,7 +507,7 @@ _BOOL_STORE_TRUE = {
     "eval_untrained",
     "resume_all", "freeze_backbone", "no_sort_results", "use_pallas_attention",
     "use_flash_attention", "quantize_attention", "profile", "merged_matcher",
-    "fast_val", "zero_opt", "fsdp",
+    "fast_val", "zero_opt", "fsdp", "moe_upcycle",
 }
 
 

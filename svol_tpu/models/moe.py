@@ -25,6 +25,7 @@ dispatch one-hots are a permutation): tests/test_moe.py.
 from __future__ import annotations
 
 import math
+import zlib
 from typing import Optional
 
 import flax.linen as nn
@@ -33,6 +34,91 @@ import jax.numpy as jnp
 from jax import Array
 
 from svol_tpu.models.layers import TransformerMLP
+
+
+def upcycle_dense_mlp_tree(
+    params: dict,
+    num_experts: int,
+    rng: jax.Array,
+    router_init_scale: float = 0.02,
+) -> dict:
+    """Sparse upcycling (arXiv:2212.05055): convert a DENSE-model param tree
+    into the MoE layout — every cross-modal-transformer ``mlp1``/``mlp2``
+    dense MLP becomes an expert stack where each of the ``num_experts``
+    experts starts as an exact copy of the dense MLP, plus a freshly
+    initialized router (normal, ``router_init_scale``). This is the standard
+    dense→MoE migration: the model starts from the dense optimum and the
+    router learns to specialize the (initially identical) experts.
+
+    Pure host-side tree transform, scoped to ``head/transformer/layer*/
+    mlp{1,2}`` exactly like the partition rules (parallel/mesh.py) — other
+    fc1/fc2 modules (e.g. the vanilla DETR heads) are never touched.
+    """
+
+    def convert(node: dict, rng: jax.Array) -> dict:
+        fc1_kernel = node["fc1"]["kernel"]
+        d_model = fc1_kernel.shape[0]
+        tile = lambda p: jnp.broadcast_to(
+            jnp.asarray(p)[None], (num_experts,) + tuple(p.shape)
+        ).copy()
+        return {
+            "router": {
+                "kernel": router_init_scale * jax.random.normal(
+                    rng, (d_model, num_experts), jnp.float32
+                ),
+                "bias": jnp.zeros((num_experts,), jnp.float32),
+            },
+            "experts": jax.tree.map(tile, dict(node)),
+        }
+
+    def walk(node, path):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            sub = path + (k,)
+            if (
+                "transformer" in path
+                and k in ("mlp1", "mlp2")
+                and isinstance(v, dict)
+                and "fc1" in v
+                and "fc2" in v
+            ):
+                # distinct, path-deterministic router init per MoE layer
+                sub_rng = jax.random.fold_in(
+                    rng, zlib.crc32("/".join(sub).encode())
+                )
+                out[k] = convert(v, sub_rng)
+            else:
+                out[k] = walk(v, sub)
+        return out
+
+    return walk(params, ())
+
+
+def downcycle_moe_mlp_tree(params: dict) -> dict:
+    """Inverse template transform: MoE param layout -> the dense layout a
+    dense checkpoint was written under (expert 0's weights, router dropped).
+    Used to build the restore template for --moe_upcycle
+    (train/checkpoints.py::restore_upcycled)."""
+
+    def walk(node, path):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if (
+                "transformer" in path
+                and k in ("mlp1", "mlp2")
+                and isinstance(v, dict)
+                and "experts" in v
+            ):
+                out[k] = jax.tree.map(lambda p: p[0], dict(v["experts"]))
+            else:
+                out[k] = walk(v, path + (k,))
+        return out
+
+    return walk(params, ())
 
 
 class MoEMLP(nn.Module):

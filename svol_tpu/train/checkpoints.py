@@ -88,6 +88,48 @@ def restore_checkpoint(
     return state
 
 
+def restore_upcycled(
+    path: str,
+    state: TrainState,
+    num_experts: int,
+    rng,
+    router_init_scale: float = 0.02,
+) -> TrainState:
+    """--moe_upcycle: load a DENSE checkpoint into an MoE train state by
+    sparse upcycling (models/moe.py::upcycle_dense_mlp_tree) — every expert
+    starts as a copy of the checkpoint's dense MLP, routers are freshly
+    initialized, everything else (backbone, attention, heads, batch_stats)
+    restores verbatim. Weights-only by construction: the optimizer state
+    shapes differ between the layouts (same restriction as the pipeline
+    layout conversion above)."""
+    from svol_tpu.models.moe import (
+        downcycle_moe_mlp_tree,
+        upcycle_dense_mlp_tree,
+    )
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    # the on-disk tree is fully dense: downcycle the params AND the
+    # param-shaped subtrees inside the optimizer state (adam mu/nu mirror
+    # the param tree) so the template matches; opt_state/step are then
+    # discarded (weights-only restore)
+    template = {
+        "params": downcycle_moe_mlp_tree(state.params),
+        "batch_stats": state.batch_stats,
+        "opt_state": _map_param_trees(state.opt_state,
+                                      downcycle_moe_mlp_tree),
+        "step": state.step,
+    }
+    restored = ckptr.restore(path, template)
+    params = upcycle_dense_mlp_tree(
+        restored["params"], num_experts, rng,
+        router_init_scale=router_init_scale,
+    )
+    return state.replace(
+        params=params, batch_stats=restored["batch_stats"]
+    )
+
+
 def _map_param_trees(obj, fn):
     """Apply ``fn`` to every param-shaped subtree (a dict with a
     head/transformer path) inside ``obj`` — the params tree itself and the

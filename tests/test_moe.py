@@ -159,6 +159,69 @@ def test_moe_config_validation():
         bad.validate()
 
 
+def test_upcycle_dense_checkpoint(rng, tmp_path):
+    """Sparse upcycling (--moe_upcycle): a dense checkpoint restores into an
+    MoE state with every expert an exact copy of its dense MLP, routers
+    freshly (and per-layer distinctly) initialized, and everything outside
+    the MoE MLPs restored verbatim."""
+    from svol_tpu.models import build_model
+    from svol_tpu.train import create_train_state
+    from svol_tpu.train.checkpoints import restore_upcycled, save_checkpoint
+
+    batch = make_batch(rng, B=2)
+    sample = {k: batch[k] for k in
+              ("src_sketch", "src_video", "src_sketch_mask", "src_video_mask")}
+
+    cfg_dense = make_cfg()
+    dense_state = create_train_state(
+        cfg_dense, build_model(cfg_dense), jax.random.PRNGKey(0), sample)
+    path = save_checkpoint(str(tmp_path), "dense", dense_state, cfg_dense)
+
+    E = 4
+    cfg_moe = make_cfg()
+    cfg_moe.model.moe_experts = E
+    moe_state = create_train_state(
+        cfg_moe, build_model(cfg_moe), jax.random.PRNGKey(1), sample)
+    up = restore_upcycled(path, moe_state, E, jax.random.PRNGKey(2))
+
+    dense_layers = dense_state.params["head"]["transformer"]
+    up_layers = up.params["head"]["transformer"]
+    routers = []
+    for layer in ("layer0", "layer1"):
+        for mlp in ("mlp1", "mlp2"):
+            experts = up_layers[layer][mlp]["experts"]
+            dense_mlp = dense_layers[layer][mlp]
+            for sub in ("fc1", "fc2"):
+                for leaf in ("kernel", "bias"):
+                    got = np.asarray(experts[sub][leaf])
+                    want = np.asarray(dense_mlp[sub][leaf])
+                    assert got.shape == (E,) + want.shape
+                    for e in range(E):
+                        np.testing.assert_array_equal(got[e], want,
+                                                      err_msg=f"{layer}/{mlp}")
+            routers.append(np.asarray(up_layers[layer][mlp]["router"]["kernel"]))
+    # per-layer routers must be distinct draws (path-folded rng)
+    for i in range(len(routers)):
+        for j in range(i + 1, len(routers)):
+            assert not np.array_equal(routers[i], routers[j])
+
+    # everything outside the MoE MLPs restored verbatim from the checkpoint
+    np.testing.assert_array_equal(
+        np.asarray(up.params["head"]["class_embed"]["kernel"]),
+        np.asarray(dense_state.params["head"]["class_embed"]["kernel"]))
+    for a, b in zip(jax.tree.leaves(up.params["backbone"]),
+                    jax.tree.leaves(dense_state.params["backbone"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the upcycled state must run: one forward with ample capacity
+    model = build_model(cfg_moe)
+    variables = {"params": up.params}
+    if up.batch_stats:
+        variables["batch_stats"] = up.batch_stats
+    out = model.apply(variables, **sample, train=False)
+    assert np.isfinite(np.asarray(out["pred_boxes"], np.float32)).all()
+
+
 def test_expert_parallel_matches_dp(rng):
     """Full train step with the MoE head: a (data=4, expert=2) mesh must
     reproduce the pure-DP losses (sharding changes layout, never math), the
