@@ -120,6 +120,14 @@ class ModelConfig:
     # rearrangement of the 7x7/s2 entry conv (models/resnet.py); checkpoints
     # convert losslessly between the two (utils/torch_port.py)
     resnet_stem: str = "conv7"  # conv7 | space_to_depth
+    # Activation rematerialization (jax.checkpoint / nn.remat): recompute
+    # block/layer activations in the backward pass instead of stashing them
+    # in HBM — the standard TPU FLOPs-for-memory trade that buys batch size
+    # / clip length. 'backbone' remats every ResNet block (or ViT encoder
+    # layer), 'transformer' the cross-modal transformer layers, 'full' both.
+    # Math-identical to 'none' (tests/test_remat.py); param tree unchanged,
+    # so checkpoints are oblivious to it.
+    remat: str = "none"  # none | backbone | transformer | full
     compute_dtype: str = "bfloat16"  # activations dtype under jit
     param_dtype: str = "float32"
 
@@ -349,6 +357,15 @@ class SvolConfig:
                     f"ep_devices ({ep}) must divide moe_experts "
                     f"({m.moe_experts}) — each device holds "
                     "moe_experts/ep_devices experts")
+        if m.remat not in ("none", "backbone", "transformer", "full"):
+            raise ValueError(
+                f"remat must be one of none|backbone|transformer|full, "
+                f"got {m.remat!r}")
+        if m.remat in ("transformer", "full") and m.sketch_head != "svanet":
+            raise ValueError(
+                "remat=transformer/full supports the svanet head only — the "
+                "remat boundary is wired into the cross-modal transformer "
+                "(use remat=backbone with other heads)")
         if self.train.accum_steps < 1:
             raise ValueError("accum_steps must be >= 1")
         n = self.train.steps_per_dispatch
@@ -453,6 +470,7 @@ _FLAG_MAP = {
     "quantize": ("model", "quantize"),
     "quantize_attention": ("model", "quantize_attention"),
     "resnet_stem": ("model", "resnet_stem"),
+    "remat": ("model", "remat"),
     "compute_dtype": ("model", "compute_dtype"),
     "moe_experts": ("model", "moe_experts"),
     "moe_capacity_factor": ("model", "moe_capacity_factor"),

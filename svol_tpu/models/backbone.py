@@ -33,6 +33,7 @@ class ResNetBackbone(nn.Module):
     dtype: Optional[jnp.dtype] = None
     stem: str = "conv7"  # or 'space_to_depth' (models/resnet.py)
     quantize: Optional[str] = None  # int8 inference convs (ops/quant.py)
+    remat: bool = False  # per-block activation remat (models/resnet.py)
 
     @nn.compact
     def __call__(
@@ -47,9 +48,11 @@ class ResNetBackbone(nn.Module):
 
         skch_net = make[self.sketch_arch](include_pool=True, dtype=self.dtype,
                                           stem=self.stem, quantize=self.quantize,
+                                          remat=self.remat,
                                           name="sketch_backbone")
         vid_net = make[self.video_arch](include_pool=False, dtype=self.dtype,
                                         stem=self.stem, quantize=self.quantize,
+                                        remat=self.remat,
                                         name="video_backbone")
 
         B, T = video.shape[0], video.shape[1]
@@ -66,6 +69,7 @@ class ResNetBackbone(nn.Module):
 
 class ViTBackbone(nn.Module):
     norm_sketch_feats: bool = True
+    remat: bool = False  # per-encoder-layer activation remat (models/vit.py)
     use_sketch_cls_token: bool = True
     norm_vid_feats: bool = True
     use_vid_cls_token: bool = True
@@ -78,8 +82,10 @@ class ViTBackbone(nn.Module):
         video: Array,  # (B, T, H, W, 3)
         train: bool = False,
     ) -> Tuple[Array, Array]:
-        vit_s = vit_base_patch16(dtype=self.dtype, name="sketch_backbone")
-        vit_v = vit_base_patch16(dtype=self.dtype, name="video_backbone")
+        vit_s = vit_base_patch16(dtype=self.dtype, remat=self.remat,
+                                 name="sketch_backbone")
+        vit_v = vit_base_patch16(dtype=self.dtype, remat=self.remat,
+                                 name="video_backbone")
 
         scale = lambda x: (x - 0.5) / 0.5  # ViTFeatureExtractor normalize
 
@@ -121,12 +127,12 @@ def tokens_per_frame(backbone: str, image_size: int = 224) -> int:
 
 
 def build_backbone(backbone: str, dtype=None, resnet_stem: str = "conv7",
-                   quantize=None) -> nn.Module:
+                   quantize=None, remat: bool = False) -> nn.Module:
     if "vit" in backbone:
         if quantize:
             raise NotImplementedError("--quantize supports ResNet backbones only")
-        return ViTBackbone(dtype=dtype, name="backbone")
+        return ViTBackbone(dtype=dtype, remat=remat, name="backbone")
     if "resnet" in backbone:
         return ResNetBackbone(dtype=dtype, stem=resnet_stem, quantize=quantize,
-                              name="backbone")
+                              remat=remat, name="backbone")
     raise NotImplementedError(backbone)

@@ -154,6 +154,11 @@ class CrossModalTransformer(nn.Module):
     # transformer/layer{i}); pipeline.stack_transformer_layers converts.
     pipeline: bool = False
     pp_microbatches: int = 0  # 0 = num_layers (minimum that fills stages)
+    # rematerialize each layer's activations in the backward pass
+    # (nn.remat): attention logits/weights and MLP hiddens recompute from
+    # the layer inputs instead of living in HBM across the whole backward.
+    # Math- and param-tree-identical (tests/test_remat.py).
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -181,7 +186,7 @@ class CrossModalTransformer(nn.Module):
 
         outputs, a1s, a2s, a3s, a4s = [], [], [], [], []
         for i in range(self.num_layers):
-            mem, out, a1, a2, a3, a4 = CrossModalTransformerLayer(
+            layer = CrossModalTransformerLayer(
                 d_model=self.d_model,
                 nhead=self.nhead,
                 dim_feedforward=self.dim_feedforward,
@@ -193,8 +198,16 @@ class CrossModalTransformer(nn.Module):
                 moe_experts=self.moe_experts,
                 moe_capacity_factor=self.moe_capacity_factor,
                 name=f"layer{i}",
-            )(mem, src_skch, out, vid_pad_mask, vid_pos, query_pos,
-              deterministic=deterministic, need_weights=need_weights)
+            )
+            if self.remat:
+                mem, out, a1, a2, a3, a4 = nn.remat(
+                    lambda m, *a: m(*a, deterministic=deterministic,
+                                    need_weights=need_weights)
+                )(layer, mem, src_skch, out, vid_pad_mask, vid_pos, query_pos)
+            else:
+                mem, out, a1, a2, a3, a4 = layer(
+                    mem, src_skch, out, vid_pad_mask, vid_pos, query_pos,
+                    deterministic=deterministic, need_weights=need_weights)
             outputs.append(out)
             a1s.append(a1)
             a2s.append(a2)
@@ -236,8 +249,14 @@ class CrossModalTransformer(nn.Module):
         S = self.num_layers
         M = self.pp_microbatches or S
 
+        layer_cls = CrossModalTransformerLayer
+        if self.remat:
+            # remat each stage tick; the two trailing bools are static
+            # (argnums count the bound module as 0)
+            layer_cls = nn.remat(CrossModalTransformerLayer,
+                                 static_argnums=(7, 8))
         StagedLayers = nn.vmap(
-            CrossModalTransformerLayer,
+            layer_cls,
             in_axes=(0, 0, 0, 0, 0, 0, None, None),
             out_axes=0,
             variable_axes={"params": 0},  # stacked (S, ...) parameters

@@ -31,6 +31,7 @@ class SketchLocalizationModel(nn.Module):
         self.backbone = build_backbone(
             cfg.model.backbone, dtype=dtype, resnet_stem=cfg.model.resnet_stem,
             quantize=cfg.model.quantize,
+            remat=cfg.model.remat in ("backbone", "full"),
         )
         vid_dim, skch_dim = backbone_feature_dims(cfg.model.backbone)
         self.tokens_per_frame = tokens_per_frame(cfg.model.backbone, cfg.data.image_size)
@@ -62,6 +63,7 @@ class SketchLocalizationModel(nn.Module):
                 moe_capacity_factor=cfg.model.moe_capacity_factor,
                 pipeline=cfg.train.pp_devices > 1,
                 pp_microbatches=cfg.train.pp_microbatches,
+                remat=cfg.model.remat in ("transformer", "full"),
                 name="head",
             )
         elif cfg.model.sketch_head == "sketch_detr":

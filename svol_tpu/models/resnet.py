@@ -244,6 +244,11 @@ class ResNet(nn.Module):
     dtype: Optional[jnp.dtype] = None
     stem: str = "conv7"  # conv7 (torch layout) | space_to_depth (equivalent)
     quantize: Optional[str] = None  # int8 inference path (ops/quant.py)
+    # rematerialize each residual block's activations in the backward pass
+    # (jax.checkpoint per block via nn.remat) — trades ~1 extra forward of
+    # FLOPs for not stashing the block's interior activations in HBM. The
+    # param tree is unchanged (tests/test_remat.py).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False,
@@ -273,9 +278,13 @@ class ResNet(nn.Module):
             filters = 64 * (2**stage)
             for b in range(n_blocks):
                 stride = 2 if stage > 0 and b == 0 else 1
-                y = self.block(filters=filters, stride=stride, dtype=self.dtype,
-                               quantize=self.quantize,
-                               name=f"layer{stage + 1}_{b}")(y, train=train)
+                blk = self.block(filters=filters, stride=stride,
+                                 dtype=self.dtype, quantize=self.quantize,
+                                 name=f"layer{stage + 1}_{b}")
+                if self.remat:
+                    y = nn.remat(lambda m, a: m(a, train=train))(blk, y)
+                else:
+                    y = blk(y, train=train)
 
         if self.include_pool:
             y = y.mean(axis=(1, 2))  # (N, C)
@@ -283,21 +292,24 @@ class ResNet(nn.Module):
 
 
 def resnet18(include_pool: bool = False, dtype=None, name: str = "resnet18",
-             stem: str = "conv7", quantize: Optional[str] = None) -> ResNet:
+             stem: str = "conv7", quantize: Optional[str] = None,
+             remat: bool = False) -> ResNet:
     return ResNet(stage_sizes=(2, 2, 2, 2), block=BasicBlock,
                   include_pool=include_pool, dtype=dtype, stem=stem,
-                  quantize=quantize, name=name)
+                  quantize=quantize, remat=remat, name=name)
 
 
 def resnet34(include_pool: bool = False, dtype=None, name: str = "resnet34",
-             stem: str = "conv7", quantize: Optional[str] = None) -> ResNet:
+             stem: str = "conv7", quantize: Optional[str] = None,
+             remat: bool = False) -> ResNet:
     return ResNet(stage_sizes=(3, 4, 6, 3), block=BasicBlock,
                   include_pool=include_pool, dtype=dtype, stem=stem,
-                  quantize=quantize, name=name)
+                  quantize=quantize, remat=remat, name=name)
 
 
 def resnet50(include_pool: bool = False, dtype=None, name: str = "resnet50",
-             stem: str = "conv7", quantize: Optional[str] = None) -> ResNet:
+             stem: str = "conv7", quantize: Optional[str] = None,
+             remat: bool = False) -> ResNet:
     return ResNet(stage_sizes=(3, 4, 6, 3), block=Bottleneck,
                   include_pool=include_pool, dtype=dtype, stem=stem,
-                  quantize=quantize, name=name)
+                  quantize=quantize, remat=remat, name=name)

@@ -54,6 +54,8 @@ class SVANet(nn.Module):
     # pipeline parallelism over the transformer layers (parallel/pipeline.py)
     pipeline: bool = False
     pp_microbatches: int = 0
+    # per-layer activation remat in the transformer (--remat transformer/full)
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -109,6 +111,7 @@ class SVANet(nn.Module):
             moe_capacity_factor=self.moe_capacity_factor,
             pipeline=self.pipeline,
             pp_microbatches=self.pp_microbatches,
+            remat=self.remat,
             name="transformer",
         )(vid, skch, ~vid_valid, vid_pos, query_embed,
           deterministic=deterministic, need_weights=return_attention)

@@ -69,6 +69,9 @@ class ViT(nn.Module):
     patch_size: int = 16
     image_size: int = 224
     dtype: Optional[jnp.dtype] = None
+    # rematerialize each encoder layer in the backward pass (nn.remat);
+    # param tree unchanged (tests/test_remat.py)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images: Array, deterministic: bool = True):
@@ -94,15 +97,22 @@ class ViT(nn.Module):
         x = x + pos.astype(x.dtype)
 
         for i in range(self.num_layers):
-            x = ViTEncoderLayer(
+            layer = ViTEncoderLayer(
                 hidden_size=self.hidden_size, num_heads=self.num_heads,
                 mlp_dim=self.mlp_dim, dtype=self.dtype, name=f"layer{i}",
-            )(x, deterministic=deterministic)
+            )
+            if self.remat:
+                x = nn.remat(
+                    lambda m, a: m(a, deterministic=deterministic)
+                )(layer, x)
+            else:
+                x = layer(x, deterministic=deterministic)
 
         pre_ln = x
         x = nn.LayerNorm(epsilon=LN_EPS_VIT, dtype=self.dtype, name="ln_final")(x)
         return x, pre_ln
 
 
-def vit_base_patch16(dtype=None, name: str = "vit") -> ViT:
-    return ViT(dtype=dtype, name=name)
+def vit_base_patch16(dtype=None, name: str = "vit",
+                     remat: bool = False) -> ViT:
+    return ViT(dtype=dtype, remat=remat, name=name)
