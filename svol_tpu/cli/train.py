@@ -34,6 +34,7 @@ from svol_tpu.train.checkpoints import (
     periodic_checkpoint_name,
     restore_checkpoint,
     save_checkpoint,
+    wait_for_checkpoints,
 )
 from svol_tpu.train.state import PlateauTracker, count_parameters, create_train_state
 from svol_tpu.train.steps import make_eval_step, make_train_step
@@ -268,6 +269,7 @@ def train_val(config: SvolConfig, logger) -> None:
                 config.train.checkpoint,
                 periodic_checkpoint_name(config, iter_i),
                 state, config,
+                wait=not config.train.async_checkpoint,
             )
 
         if (iter_i + 1) % config.train.val_interval == 0 or config.train.debug:
@@ -328,6 +330,7 @@ def train_val(config: SvolConfig, logger) -> None:
                         config.train.checkpoint,
                         best_checkpoint_name(config),
                         state, config,
+                        wait=not config.train.async_checkpoint,
                     )
             else:
                 early_stop_count += 1
@@ -342,6 +345,10 @@ def train_val(config: SvolConfig, logger) -> None:
                     break
             if config.train.debug:
                 break
+
+    # drain any in-flight --async_checkpoint writes before the process can
+    # exit (background threads hold the uncommitted checkpoint directory)
+    wait_for_checkpoints()
 
     if config.train.fast_val:
         # end-of-training full host evaluation (AP + JSONL artifacts) — the

@@ -170,6 +170,11 @@ class TrainConfig:
     # expert starts as a copy of the dense MLP, routers init fresh.
     # Weights-only (optimizer state shapes differ); needs moe_experts > 1.
     moe_upcycle: bool = False
+    # Async checkpoint saves (train/checkpoints.py): orbax snapshots the
+    # state to host and commits the directory on a background thread, so
+    # the train loop never blocks on checkpoint IO (saves serialize against
+    # each other; the CLI drains pending writes before exit).
+    async_checkpoint: bool = False
     start_iter: Optional[int] = None
     num_iters: int = 50_000
     early_stop_patience: int = 10
@@ -493,6 +498,7 @@ _FLAG_MAP = {
     "resume": ("train", "resume"),
     "resume_all": ("train", "resume_all"),
     "moe_upcycle": ("train", "moe_upcycle"),
+    "async_checkpoint": ("train", "async_checkpoint"),
     "start_iter": ("train", "start_iter"),
     "num_iters": ("train", "num_iters"),
     "early_stop_patience": ("train", "early_stop_patience"),
@@ -525,7 +531,7 @@ _BOOL_STORE_TRUE = {
     "eval_untrained",
     "resume_all", "freeze_backbone", "no_sort_results", "use_pallas_attention",
     "use_flash_attention", "quantize_attention", "profile", "merged_matcher",
-    "fast_val", "zero_opt", "fsdp", "moe_upcycle",
+    "fast_val", "zero_opt", "fsdp", "moe_upcycle", "async_checkpoint",
 }
 
 

@@ -24,14 +24,49 @@ def _ckpt_dir(base: str, name: str) -> str:
     return os.path.abspath(os.path.join(base, name))
 
 
+# Long-lived checkpointer for --async_checkpoint saves: orbax's
+# StandardCheckpointer IS an AsyncCheckpointer — save() returns once the
+# arrays are snapshotted to host and the directory write proceeds on a
+# background thread, so training overlaps the checkpoint IO. A singleton
+# (not a per-call instance) because the background write must outlive the
+# call, and because consecutive saves serialize against each other through
+# wait_until_finished().
+_ASYNC_CKPTR: Optional[ocp.StandardCheckpointer] = None
+
+
+def _async_checkpointer() -> ocp.StandardCheckpointer:
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.StandardCheckpointer()
+    return _ASYNC_CKPTR
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every pending --async_checkpoint save has committed.
+    Call before process exit (cli/train.py) or before reading back a path
+    that may still be in flight. Idempotent; no-op when nothing is pending."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_checkpoint(
     base_dir: str,
     name: str,
     state: TrainState,
     config: SvolConfig,
+    wait: bool = True,
 ) -> str:
+    """``wait=False`` (--async_checkpoint): the device->host snapshot happens
+    before this returns, but the directory write runs on a background thread
+    — the train loop keeps stepping while the checkpoint commits. The next
+    async save (or wait_for_checkpoints()) joins the previous write first,
+    so a slow filesystem back-pressures at save points, never corrupts."""
     path = _ckpt_dir(base_dir, name)
-    ckptr = ocp.StandardCheckpointer()
+    if wait:
+        ckptr = ocp.StandardCheckpointer()
+    else:
+        ckptr = _async_checkpointer()
+        ckptr.wait_until_finished()  # serialize with any in-flight save
     payload = {
         "params": state.params,
         "batch_stats": state.batch_stats,
@@ -39,7 +74,8 @@ def save_checkpoint(
         "step": state.step,
     }
     ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
+    if wait:
+        ckptr.wait_until_finished()
     with open(path + ".config.json", "w") as f:
         f.write(config.to_json())
     return path
