@@ -175,6 +175,10 @@ class TrainConfig:
     # the train loop never blocks on checkpoint IO (saves serialize against
     # each other; the CLI drains pending writes before exit).
     async_checkpoint: bool = False
+    # Global-norm gradient clipping (optax.clip_by_global_norm); 0.0 = off,
+    # exactly the reference's (clip-free) recipe. DETR-family training
+    # commonly clips at 0.1; exposed for derived recipes.
+    grad_clip_norm: float = 0.0
     start_iter: Optional[int] = None
     num_iters: int = 50_000
     early_stop_patience: int = 10
@@ -371,6 +375,8 @@ class SvolConfig:
                 "remat=transformer/full supports the svanet head only — the "
                 "remat boundary is wired into the cross-modal transformer "
                 "(use remat=backbone with other heads)")
+        if self.train.grad_clip_norm < 0:
+            raise ValueError("grad_clip_norm must be >= 0 (0 = off)")
         if self.train.accum_steps < 1:
             raise ValueError("accum_steps must be >= 1")
         n = self.train.steps_per_dispatch
@@ -499,6 +505,7 @@ _FLAG_MAP = {
     "resume_all": ("train", "resume_all"),
     "moe_upcycle": ("train", "moe_upcycle"),
     "async_checkpoint": ("train", "async_checkpoint"),
+    "grad_clip_norm": ("train", "grad_clip_norm"),
     "start_iter": ("train", "start_iter"),
     "num_iters": ("train", "num_iters"),
     "early_stop_patience": ("train", "early_stop_patience"),

@@ -47,15 +47,25 @@ def make_lr_schedule(config: SvolConfig) -> Callable[[jnp.ndarray], jnp.ndarray]
 
 def make_optimizer(config: SvolConfig) -> optax.GradientTransformation:
     t = config.train
+    clip = t.grad_clip_norm
+
     if t.scheduler == "reducelronplateau":
         # host-driven LR: exposed as a mutable hyperparam, decayed by the
         # train loop on validation-metric plateau (torch ReduceLROnPlateau
         # semantics, train.py:134-143)
         if t.optimizer != "adamw":
             raise NotImplementedError("reducelronplateau supports adamw only")
-        return optax.inject_hyperparams(optax.adamw)(
-            learning_rate=t.lr, weight_decay=t.wd
-        )
+
+        def _adamw(learning_rate):
+            # the clip lives INSIDE the injected factory so the
+            # InjectHyperparamsState (and its mutable learning_rate —
+            # reduce_lr_on_plateau/current_lr) stays the outermost state
+            inner = optax.adamw(learning_rate, weight_decay=t.wd)
+            if clip > 0:
+                inner = optax.chain(optax.clip_by_global_norm(clip), inner)
+            return inner
+
+        return optax.inject_hyperparams(_adamw)(learning_rate=t.lr)
     sched = make_lr_schedule(config)
     if t.optimizer == "adamw":
         tx = optax.adamw(sched, weight_decay=t.wd)
@@ -70,6 +80,15 @@ def make_optimizer(config: SvolConfig) -> optax.GradientTransformation:
         )
     else:
         raise NotImplementedError(t.optimizer)
+
+    if clip > 0:
+        # global-norm gradient clipping (--grad_clip_norm). Wrapped before
+        # the freeze_backbone multi_transform below, so under freezing the
+        # norm spans exactly the trainable partition — matching
+        # torch.nn.utils.clip_grad_norm_ over params that require grad. The
+        # reference recipe never clips (train.py:205-357); 0.0 (default)
+        # preserves that behavior exactly.
+        tx = optax.chain(optax.clip_by_global_norm(clip), tx)
 
     if t.freeze_backbone:
         def label_fn(params):

@@ -87,3 +87,46 @@ def test_reduce_lr_on_plateau_state():
     np.testing.assert_allclose(current_lr(state), 1e-3, rtol=1e-6)
     state = reduce_lr_on_plateau(state, 0.1)
     np.testing.assert_allclose(current_lr(state), 1e-4, rtol=1e-6)
+
+
+def test_grad_clip_norm_sgd_exact():
+    """--grad_clip_norm with sgd: update = -lr * g * min(1, clip/||g||) —
+    verified against the closed form (sgd has no moment state to obscure
+    the scaling). 0.0 must be the identity (the reference never clips)."""
+    from svol_tpu.train.state import make_optimizer
+
+    params = {"w": np.ones((4,), np.float32)}
+    grads = {"w": np.full((4,), 3.0, np.float32)}  # ||g|| = 6
+    lr, clip = 1e-2, 1.5
+
+    def first_update(c):
+        cfg = cfg_with(optimizer="sgd", scheduler="steplr", wd=0.0,
+                       grad_clip_norm=c)
+        cfg.train.lr = lr
+        tx = make_optimizer(cfg)
+        st = tx.init(params)
+        upd, _ = tx.update(
+            jax.tree.map(jax.numpy.asarray, grads), st, params)
+        return np.asarray(upd["w"])
+
+    unclipped = first_update(0.0)
+    np.testing.assert_allclose(unclipped, -lr * 3.0, rtol=1e-6)
+    clipped = first_update(clip)
+    np.testing.assert_allclose(clipped, -lr * 3.0 * (clip / 6.0), rtol=1e-6)
+
+
+def test_grad_clip_norm_plateau_lr_still_mutable():
+    """The clip chain must stay INSIDE InjectHyperparamsState so the
+    plateau scheduler's host-driven LR decay keeps working."""
+    cfg = cfg_with(scheduler="reducelronplateau", grad_clip_norm=0.1)
+    model = build_model(cfg)
+    sample = {
+        "src_sketch": np.zeros((1, 1, IMG, IMG, 3), np.float32),
+        "src_video": np.zeros((1, T, IMG, IMG, 3), np.float32),
+        "src_sketch_mask": np.ones((1, 1), np.float32),
+        "src_video_mask": np.ones((1, T), np.float32),
+    }
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), sample)
+    np.testing.assert_allclose(current_lr(state), 1e-3, rtol=1e-6)
+    state = reduce_lr_on_plateau(state, 0.1)
+    np.testing.assert_allclose(current_lr(state), 1e-4, rtol=1e-6)
