@@ -419,6 +419,226 @@ def build_pretrained_checkpoint(
     return save_checkpoint(out_dir, name, state, config)
 
 
+# ---------------------------------------------------------------------------
+# Reverse port: our Flax trees -> reference torch state dicts. Together with
+# convert_reference_model above this makes migration BIDIRECTIONAL — a model
+# trained here loads into the reference's torch stack (test.py / visualize.py)
+# with load_state_dict(strict=True).
+# ---------------------------------------------------------------------------
+
+
+def _unconv(w: np.ndarray) -> np.ndarray:
+    """flax HWIO -> torch OIHW (inverse of _conv)."""
+    return np.transpose(np.asarray(w, np.float32), (3, 2, 0, 1))
+
+
+def s2d_to_conv7_kernel(k: np.ndarray) -> np.ndarray:
+    """Inverse of models/resnet.py::conv7_to_s2d_kernel: the (4, 4, 4C, F)
+    space-to-depth stem kernel back to the exactly-equivalent (7, 7, C, F)
+    conv7 layout (drop the zero pad row/col the forward transform added)."""
+    k = np.asarray(k)
+    C, F = k.shape[2] // 4, k.shape[3]
+    kp = k.reshape(4, 4, 2, 2, C, F)  # (q_i, r_j, di, dj, C, F)
+    kp = kp.transpose(0, 2, 1, 3, 4, 5)  # (q_i, di, r_j, dj, C, F)
+    return kp.reshape(8, 8, C, F)[1:, 1:]
+
+
+def _unbn(p, s) -> Dict[str, np.ndarray]:
+    return {
+        "weight": np.asarray(p["scale"], np.float32),
+        "bias": np.asarray(p["bias"], np.float32),
+        "running_mean": np.asarray(s["mean"], np.float32),
+        "running_var": np.asarray(s["var"], np.float32),
+        # torch BN bookkeeping our BN doesn't have; 0 is what a fresh torch
+        # module holds and nothing reads it at inference
+        "num_batches_tracked": np.zeros((), np.int64),
+    }
+
+
+def export_resnet_state_dict(params, batch_stats,
+                             stem: str = "conv7") -> Dict[str, np.ndarray]:
+    """svol_tpu ResNet {params, batch_stats} -> torchvision-style state dict
+    (inverse of convert_resnet; roundtrip-exact, tests/test_torch_export.py)."""
+    sd: Dict[str, np.ndarray] = {}
+    if stem == "space_to_depth":
+        sd["conv1.weight"] = _unconv(s2d_to_conv7_kernel(
+            params["conv1_s2d"]["kernel"]))
+    else:
+        sd["conv1.weight"] = _unconv(params["conv1"]["kernel"])
+    for k, v in _unbn(params["bn1"], batch_stats["bn1"]).items():
+        sd[f"bn1.{k}"] = v
+    for name in sorted(k for k in params if k.startswith("layer")):
+        stage_b = name[len("layer"):]
+        stage, b = stage_b.split("_")
+        dst = f"layer{stage}.{b}"
+        block_p, block_s = params[name], batch_stats[name]
+        for sub in block_p:
+            if sub.startswith("conv"):
+                sd[f"{dst}.{sub}.weight"] = _unconv(block_p[sub]["kernel"])
+            elif sub.startswith("bn"):
+                for k, v in _unbn(block_p[sub], block_s[sub]).items():
+                    sd[f"{dst}.{sub}.{k}"] = v
+            elif sub == "downsample_conv":
+                sd[f"{dst}.downsample.0.weight"] = _unconv(block_p[sub]["kernel"])
+            elif sub == "downsample_bn":
+                for k, v in _unbn(block_p[sub], block_s[sub]).items():
+                    sd[f"{dst}.downsample.1.{k}"] = v
+    return sd
+
+
+def _unlin(tree) -> Dict[str, np.ndarray]:
+    return {"weight": np.asarray(tree["kernel"], np.float32).T,
+            "bias": np.asarray(tree["bias"], np.float32)}
+
+
+def _unln(tree) -> Dict[str, np.ndarray]:
+    return {"weight": np.asarray(tree["scale"], np.float32),
+            "bias": np.asarray(tree["bias"], np.float32)}
+
+
+def _unmha(tree, d_model: int) -> Dict[str, np.ndarray]:
+    """Inverse of _mha: separate q/k/v Dense trees -> torch packed in_proj."""
+    w = np.concatenate([np.asarray(tree[n]["kernel"], np.float32).T
+                        for n in ("q_proj", "k_proj", "v_proj")], axis=0)
+    b = np.concatenate([np.asarray(tree[n]["bias"], np.float32)
+                        for n in ("q_proj", "k_proj", "v_proj")], axis=0)
+    out = {"in_proj_weight": w, "in_proj_bias": b}
+    out["out_proj.weight"] = np.asarray(tree["out_proj"]["kernel"],
+                                        np.float32).T
+    out["out_proj.bias"] = np.asarray(tree["out_proj"]["bias"], np.float32)
+    return out
+
+
+def export_svanet_state_dict(params, d_model: int, num_layers: int,
+                             n_input_proj: int = 2,
+                             num_classes: int = 2) -> Dict[str, np.ndarray]:
+    """svol_tpu SVANet params -> the reference SVANet's FULL torch state dict
+    (inverse of convert_svanet). The reference's dead parameters — its gate
+    attention's value/out_proj rows (it only consumes the attention weights,
+    cross_modal_transformer.py:124-125) and the unused ``class_head`` — have
+    no counterpart here and are emitted as zeros so load_state_dict(strict=
+    True) succeeds; they never influence the reference's outputs."""
+    sd: Dict[str, np.ndarray] = {}
+    for side in ("video", "sketch"):
+        proj = params[f"input_{side}_proj"]
+        for i in range(n_input_proj):
+            for k, v in _unln(proj[f"proj{i}"]["norm"]).items():
+                sd[f"input_{side}_proj.{i}.LayerNorm.{k}"] = v
+            for k, v in _unlin(proj[f"proj{i}"]["linear"]).items():
+                sd[f"input_{side}_proj.{i}.net.1.{k}"] = v
+    sd["query_embed.weight"] = np.asarray(params["query_embed"], np.float32)
+    for k, v in _unlin(params["class_embed"]).items():
+        sd[f"class_embed.{k}"] = v
+    for i in range(3):
+        for k, v in _unlin(params["bbox_embed"][f"layer{i}"]).items():
+            sd[f"bbox_embed.layers.{i}.{k}"] = v
+    # dead in the reference (never used in its forward): zeros, right shapes
+    sd["class_head.weight"] = np.zeros((num_classes, d_model), np.float32)
+    sd["class_head.bias"] = np.zeros((num_classes,), np.float32)
+
+    tr = params["transformer"]
+    if "layers" in tr:  # pipelined (stacked) layout -> sequential first
+        from svol_tpu.parallel.pipeline import unstack_transformer_layers
+
+        tr = unstack_transformer_layers({"head": {"transformer": tr}}
+                                        )["head"]["transformer"]
+    for i in range(num_layers):
+        layer = tr[f"layer{i}"]
+        if "experts" in layer.get("mlp1", {}):
+            raise NotImplementedError(
+                "MoE layouts have no reference torch counterpart; "
+                "export a dense model (or downcycle first)")
+        dst = f"transformer.layers.{i}"
+        gate = layer["sketch_video_cross_attn"]
+        q_w = np.asarray(gate["q_proj_kernel"], np.float32).T
+        k_w = np.asarray(gate["k_proj_kernel"], np.float32).T
+        sd[f"{dst}.sketch_video_cross_attn.in_proj_weight"] = np.concatenate(
+            [q_w, k_w, np.zeros_like(q_w)], axis=0)  # v rows: dead upstream
+        sd[f"{dst}.sketch_video_cross_attn.in_proj_bias"] = np.concatenate(
+            [np.asarray(gate["q_proj_bias"], np.float32),
+             np.asarray(gate["k_proj_bias"], np.float32),
+             np.zeros((d_model,), np.float32)])
+        sd[f"{dst}.sketch_video_cross_attn.out_proj.weight"] = np.zeros(
+            (d_model, d_model), np.float32)  # dead upstream
+        sd[f"{dst}.sketch_video_cross_attn.out_proj.bias"] = np.zeros(
+            (d_model,), np.float32)
+        for attn in ("content_self_attn", "token_self_attn",
+                     "content_token_cross_attn"):
+            for k, v in _unmha(layer[attn], d_model).items():
+                sd[f"{dst}.{attn}.{k}"] = v
+        for mlp in ("mlp1", "mlp2"):
+            for fc in ("fc1", "fc2"):
+                for k, v in _unlin(layer[mlp][fc]).items():
+                    sd[f"{dst}.{mlp}.{fc}.{k}"] = v
+        for n in range(1, 7):
+            for k, v in _unln(layer[f"norm{n}"]).items():
+                sd[f"{dst}.norm{n}.{k}"] = v
+    return sd
+
+
+def export_reference_state_dict(variables, config) -> Dict[str, np.ndarray]:
+    """Full svol_tpu model variables -> the reference's full-model torch
+    state dict ('backbone.{video,sketch}_backbone.<seq_idx>.*' + 'head.*'
+    keys, train.py:269-276) — the exact inverse of convert_reference_model,
+    so a model trained HERE runs through the reference's test.py/visualize.py
+    unchanged. resnet+svanet only (the only architecture upstream trains)."""
+    if config.model.sketch_head != "svanet" or config.model.backbone != "resnet":
+        raise NotImplementedError(
+            "reference checkpoints are resnet+svanet; config has "
+            f"{config.model.backbone}+{config.model.sketch_head}")
+    p, s = variables["params"], variables["batch_stats"]
+    seq = {v: k for k, v in _SEQ_TO_TORCHVISION.items()}
+    sd: Dict[str, np.ndarray] = {}
+    for which in ("video_backbone", "sketch_backbone"):
+        flat = export_resnet_state_dict(
+            p["backbone"][which], s["backbone"][which],
+            stem=config.model.resnet_stem)
+        for k, v in flat.items():
+            head_name, _, tail = k.partition(".")
+            sd[f"backbone.{which}.{seq[head_name]}.{tail}"] = v
+    head_sd = export_svanet_state_dict(
+        p["head"], d_model=config.model.hidden_dim,
+        num_layers=config.model.num_layers,
+        n_input_proj=config.model.n_input_proj,
+        num_classes=config.model.num_classes)
+    for k, v in head_sd.items():
+        sd[f"head.{k}"] = v
+    return sd
+
+
+def export_torch_checkpoint(config, ckpt_path: str, out_path: str) -> str:
+    """Load an orbax checkpoint trained here and write the reference-format
+    torch checkpoint ({'model': state_dict}, the shape test.py's --resume
+    loads). ``.npz`` output skips torch entirely."""
+    import jax
+
+    from svol_tpu.models import build_model
+    from svol_tpu.train.checkpoints import restore_checkpoint
+    from svol_tpu.train.state import create_train_state
+
+    model = build_model(config)
+    S = config.data.image_size
+    sample = {
+        "src_sketch": np.zeros((1, 1, S, S, 3), np.float32),
+        "src_video": np.zeros((1, 1, S, S, 3), np.float32),
+        "src_sketch_mask": np.ones((1, 1), np.float32),
+        "src_video_mask": np.ones((1, 1), np.float32),
+    }
+    state = create_train_state(
+        config, model, jax.random.PRNGKey(config.train.seed), sample)
+    state = restore_checkpoint(ckpt_path, state)
+    sd = export_reference_state_dict(
+        {"params": state.params, "batch_stats": state.batch_stats}, config)
+    if out_path.endswith(".npz"):
+        np.savez(out_path, **sd)
+    else:
+        import torch
+
+        torch.save({"model": {k: torch.from_numpy(np.ascontiguousarray(v))
+                              for k, v in sd.items()}}, out_path)
+    return out_path
+
+
 def main(argv=None) -> None:
     """CLI: port torch backbone weights into a resumable checkpoint.
 
@@ -442,9 +662,29 @@ def main(argv=None) -> None:
     p.add_argument("--reference_ckpt", default="",
                    help="reference-trained full SVOL checkpoint; ports "
                         "backbone + svanet head (migration path)")
+    p.add_argument("--export_torch", default="",
+                   help="REVERSE port: an orbax checkpoint trained here -> "
+                        "a reference-format torch checkpoint ({'model': "
+                        "state_dict}) usable by the reference's test.py; "
+                        "the config is read from the checkpoint's sidecar "
+                        ".config.json; --out names the output .pth/.npz file")
     p.add_argument("--out", default="./save")
     p.add_argument("--name", default="")
     args = p.parse_args(argv)
+
+    if args.export_torch:
+        import json as _json
+        import os as _os
+
+        sidecar = args.export_torch.rstrip("/") + ".config.json"
+        if not _os.path.exists(sidecar):
+            p.error(f"no config sidecar at {sidecar}")
+        with open(sidecar) as f:
+            cfg = SvolConfig.from_dict(_json.load(f))
+        out = args.out if args.out != "./save" else "./exported_model.pth"
+        path = export_torch_checkpoint(cfg, args.export_torch, out)
+        print(f"wrote reference-format torch checkpoint: {path}")
+        return
 
     cfg = SvolConfig()
     cfg.model.backbone = args.backbone
