@@ -184,7 +184,11 @@ def eval_setup(config: SvolConfig, sample_batch=None):
     )
     if config.train.resume:
         state = restore_checkpoint(config.train.resume, state, restore_all=False)
-    return model, criterion, state
+    # --ema_decay at eval/export time: evaluate the EMA shadow the
+    # checkpoint carries, not the raw last-step params
+    from svol_tpu.train.state import ema_eval_view
+
+    return model, criterion, ema_eval_view(state)
 
 
 def main(argv=None) -> None:

@@ -36,7 +36,12 @@ from svol_tpu.train.checkpoints import (
     save_checkpoint,
     wait_for_checkpoints,
 )
-from svol_tpu.train.state import PlateauTracker, count_parameters, create_train_state
+from svol_tpu.train.state import (
+    PlateauTracker,
+    count_parameters,
+    create_train_state,
+    ema_eval_view,
+)
 from svol_tpu.train.steps import make_eval_step, make_train_step
 from svol_tpu.utils import AverageMeter, cur_time, setup_logger
 from svol_tpu.utils.metrics_writer import MetricsWriter
@@ -281,13 +286,14 @@ def train_val(config: SvolConfig, logger) -> None:
                 # suite runs below only when this finds a new best (and the
                 # CLI caller runs it once at the end of training).
                 brief = fast_validation(
-                    state, eval_step, val_loader_factory(),
+                    ema_eval_view(state), eval_step, val_loader_factory(),
                     config.model.num_queries_per_frame, plan=eval_plan,
                 )
             else:
                 results_filename = f"{cur_time()}_{config.run_tag('val')}.jsonl"
                 metrics_out, eval_loss_meters, _ = inference(
-                    config, state, eval_step, val_loader_factory(),
+                    config, ema_eval_view(state), eval_step,
+                    val_loader_factory(),
                     results_filename, logger=logger, plan=eval_plan,
                 )
                 brief = metrics_out["brief"]
@@ -317,7 +323,8 @@ def train_val(config: SvolConfig, logger) -> None:
                 if config.train.fast_val:
                     # full host suite (AP + JSONL artifacts) only on new bests
                     metrics_out, _, _ = inference(
-                        config, state, eval_step, val_loader_factory(),
+                        config, ema_eval_view(state), eval_step,
+                        val_loader_factory(),
                         f"{cur_time()}_{config.run_tag('val')}.jsonl",
                         logger=logger, plan=eval_plan,
                     )
@@ -354,7 +361,7 @@ def train_val(config: SvolConfig, logger) -> None:
         # end-of-training full host evaluation (AP + JSONL artifacts) — the
         # fast path above only produced them on new bests
         metrics_out, _, _ = inference(
-            config, state, eval_step, val_loader_factory(),
+            config, ema_eval_view(state), eval_step, val_loader_factory(),
             f"{cur_time()}_{config.run_tag('val_final')}.jsonl", logger=logger,
             plan=eval_plan,
         )

@@ -179,6 +179,11 @@ class TrainConfig:
     # exactly the reference's (clip-free) recipe. DETR-family training
     # commonly clips at 0.1; exposed for derived recipes.
     grad_clip_norm: float = 0.0
+    # Exponential moving average of the params (train/steps.py::_update_ema):
+    # ema <- d*ema + (1-d)*params each step; validation, checkpoint
+    # selection, and export then use the averaged weights
+    # (train/state.py::ema_eval_view). 0.0 = off (the reference has no EMA).
+    ema_decay: float = 0.0
     start_iter: Optional[int] = None
     num_iters: int = 50_000
     early_stop_patience: int = 10
@@ -377,6 +382,8 @@ class SvolConfig:
                 "(use remat=backbone with other heads)")
         if self.train.grad_clip_norm < 0:
             raise ValueError("grad_clip_norm must be >= 0 (0 = off)")
+        if not (0.0 <= self.train.ema_decay < 1.0):
+            raise ValueError("ema_decay must be in [0, 1) (0 = off)")
         if self.train.accum_steps < 1:
             raise ValueError("accum_steps must be >= 1")
         n = self.train.steps_per_dispatch
@@ -506,6 +513,7 @@ _FLAG_MAP = {
     "moe_upcycle": ("train", "moe_upcycle"),
     "async_checkpoint": ("train", "async_checkpoint"),
     "grad_clip_norm": ("train", "grad_clip_norm"),
+    "ema_decay": ("train", "ema_decay"),
     "start_iter": ("train", "start_iter"),
     "num_iters": ("train", "num_iters"),
     "early_stop_patience": ("train", "early_stop_patience"),

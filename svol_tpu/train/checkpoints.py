@@ -14,6 +14,8 @@ from __future__ import annotations
 import os
 from typing import Optional
 
+import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 from svol_tpu.config import SvolConfig
@@ -73,6 +75,8 @@ def save_checkpoint(
         "opt_state": state.opt_state,
         "step": state.step,
     }
+    if state.ema_params is not None:  # --ema_decay: persist the shadow too
+        payload["ema_params"] = state.ema_params
     ckptr.save(path, payload, force=True)
     if wait:
         ckptr.wait_until_finished()
@@ -99,6 +103,16 @@ def restore_checkpoint(
         "opt_state": state.opt_state,
         "step": state.step,
     }
+    has_ema = state.ema_params is not None
+    try:  # does the on-disk tree carry an EMA shadow (--ema_decay run)?
+        ckpt_has_ema = "ema_params" in ckptr.metadata(path).item_metadata
+    except BaseException:  # noqa: BLE001 — metadata probe only
+        ckpt_has_ema = False
+    if ckpt_has_ema:
+        # template must mirror the on-disk tree; ema mirrors the params
+        # (restored-but-dropped when this run has EMA off)
+        template["ema_params"] = (state.ema_params if has_ema
+                                  else state.params)
     try:
         restored = ckptr.restore(path, template)
     except BaseException as e:  # noqa: BLE001 — inspected, then re-raised
@@ -117,6 +131,15 @@ def restore_checkpoint(
     state = state.replace(
         params=restored["params"], batch_stats=restored["batch_stats"]
     )
+    if has_ema:
+        # EMA-carrying checkpoint restores its shadow; resuming a plain
+        # checkpoint into an --ema_decay run seeds the shadow at the
+        # restored params — as a COPY, never an alias (aliased buffers
+        # break the donated train step: "donate the same buffer twice")
+        state = state.replace(
+            ema_params=restored.get(
+                "ema_params",
+                jax.tree.map(jnp.array, restored["params"])))
     if restore_all:
         state = state.replace(
             opt_state=restored["opt_state"], step=restored["step"]

@@ -26,9 +26,13 @@ from svol_tpu.config import SvolConfig
 
 
 class TrainState(train_state.TrainState):
-    """flax TrainState + BatchNorm running statistics (ResNet backbone)."""
+    """flax TrainState + BatchNorm running statistics (ResNet backbone)
+    + an optional EMA shadow of the params (--ema_decay; None when off,
+    which keeps the pytree — and every checkpoint — identical to an
+    EMA-free state)."""
 
     batch_stats: Any = None
+    ema_params: Any = None
 
 
 def make_lr_schedule(config: SvolConfig) -> Callable[[jnp.ndarray], jnp.ndarray]:
@@ -170,7 +174,24 @@ def create_train_state(
         params=params,
         tx=make_optimizer(config),
         batch_stats=batch_stats,
+        # EMA shadow starts AT the params (standard init: the average of a
+        # length-0 history is the current point). MUST be distinct buffers,
+        # not an alias of params: the donated train step would otherwise
+        # hand XLA the same buffer twice ("Attempt to donate the same
+        # buffer twice in Execute()").
+        ema_params=(jax.tree.map(jnp.array, params)
+                    if config.train.ema_decay > 0 else None),
     )
+
+
+def ema_eval_view(state: TrainState) -> TrainState:
+    """The state to EVALUATE/EXPORT: params swapped for their EMA shadow
+    when one is maintained (--ema_decay), identity otherwise. Validation,
+    checkpoint selection, and serving should all see the averaged weights —
+    that is the point of the EMA."""
+    if state.ema_params is None:
+        return state
+    return state.replace(params=state.ema_params)
 
 
 def count_parameters(params) -> int:

@@ -38,9 +38,10 @@ def make_train_step(
     """Returns train_step(state, batch, rng) -> (state, metrics)."""
 
     moe_w = _moe_aux_weight(config)
+    ema_d = config.train.ema_decay
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
-        return _train_step_body(criterion, state, batch, rng, moe_w)
+        return _train_step_body(criterion, state, batch, rng, moe_w, ema_d)
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
@@ -68,11 +69,12 @@ def make_multi_train_step(
     """
 
     moe_w = _moe_aux_weight(config)
+    ema_d = config.train.ema_decay
 
     def multi_step(state: TrainState, stacked_batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):
         def body(st, batch):
-            return _train_step_body(criterion, st, batch, rng, moe_w)
+            return _train_step_body(criterion, st, batch, rng, moe_w, ema_d)
 
         return jax.lax.scan(body, state, stacked_batch)
 
@@ -106,6 +108,7 @@ def make_accum_train_step(
     """
 
     moe_w = _moe_aux_weight(config)
+    ema_d = config.train.ema_decay
 
     def accum_step(state: TrainState, stacked_batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):
@@ -161,6 +164,7 @@ def make_accum_train_step(
         new_state = state.apply_gradients(grads=grads)
         if has_bn:
             new_state = new_state.replace(batch_stats=batch_stats)
+        new_state = _update_ema(new_state, ema_d)
         new_state = constrain_zero_state(new_state)  # ZeRO-1 layout pin
         metrics = {k: v.mean() for k, v in losses_stacked.items()}
         metrics["grad_norm"] = optax_global_norm(grads)
@@ -182,9 +186,23 @@ def _moe_aux_total(mutated: Dict) -> jnp.ndarray:
                for v in jax.tree.leaves(mutated.get("moe", {})))
 
 
+def _update_ema(state: TrainState, decay: float) -> TrainState:
+    """Exponential moving average of the parameters (--ema_decay):
+    ema <- decay * ema + (1 - decay) * params, evaluated/exported in place
+    of the raw params (train/state.py::ema_eval_view). A traced no-op when
+    the state carries no EMA shadow (decay == 0 at create_train_state)."""
+    if state.ema_params is None or decay <= 0.0:
+        return state
+    ema = jax.tree.map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+        state.ema_params, state.params,
+    )
+    return state.replace(ema_params=ema)
+
+
 def _train_step_body(criterion: SetCriterion, state: TrainState,
                      batch: Dict[str, jnp.ndarray], rng: jax.Array,
-                     moe_aux_weight: float = 0.0):
+                     moe_aux_weight: float = 0.0, ema_decay: float = 0.0):
     rng = jax.random.fold_in(rng, state.step)
 
     def loss_fn(params):
@@ -225,6 +243,7 @@ def _train_step_body(criterion: SetCriterion, state: TrainState,
     new_state = state.apply_gradients(grads=grads)
     if "batch_stats" in mutated:
         new_state = new_state.replace(batch_stats=mutated["batch_stats"])
+    new_state = _update_ema(new_state, ema_decay)
     # ZeRO-1: pin the output state to the input layout (moments data-
     # sharded, params replicated) so the step has a layout fixed point.
     # No-op unless the active plan requests zero_opt (parallel/mesh.py).
