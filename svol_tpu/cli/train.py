@@ -25,12 +25,17 @@ import jax
 from svol_tpu.config import SvolConfig, config_from_args, config_to_markdown
 from svol_tpu.cli.infer import inference
 from svol_tpu.evaluate.device import fast_validation
-from svol_tpu.data.pipeline import build_loader, device_prefetch
+from svol_tpu.data.pipeline import (
+    ResumableIterator,
+    build_loader,
+    device_prefetch,
+)
 from svol_tpu.losses.criterion import build_criterion
 from svol_tpu.models import build_model
 from svol_tpu.parallel import make_mesh_plan
 from svol_tpu.train.checkpoints import (
     best_checkpoint_name,
+    load_loader_state,
     periodic_checkpoint_name,
     restore_checkpoint,
     save_checkpoint,
@@ -41,6 +46,7 @@ from svol_tpu.train.state import (
     count_parameters,
     create_train_state,
     ema_eval_view,
+    init_sample_batch,
 )
 from svol_tpu.train.steps import make_eval_step, make_train_step
 from svol_tpu.utils import AverageMeter, cur_time, setup_logger
@@ -99,16 +105,13 @@ def train_val(config: SvolConfig, logger) -> None:
     model = build_model(config)
     criterion = build_criterion(config)
 
-    train_iter = iter(build_loader(
-        config, "train", shard_index=process_index, shard_count=process_count,
-    ))
     val_loader_factory = lambda: build_loader(config, "val", backend="threads")
 
-    first = next(train_iter)
-    sample_batch = {k: first[k] for k in
-                    ("src_sketch", "src_video", "src_sketch_mask", "src_video_mask")}
+    # shape-only init batch: the training loader is built AFTER resume (below)
+    # so its stream can be positioned exactly at the restored step
     state = create_train_state(
-        config, model, jax.random.PRNGKey(config.train.seed), sample_batch
+        config, model, jax.random.PRNGKey(config.train.seed),
+        init_sample_batch(config),
     )
     state = plan.replicate(state)
     n_params = count_parameters(state.params)
@@ -166,6 +169,67 @@ def train_val(config: SvolConfig, logger) -> None:
     if config.train.start_iter is not None:
         start_iter = config.train.start_iter
 
+    # -- training stream, positioned at the starting iteration -------------
+    # Exact data-stream resume (exceeds the reference, whose
+    # IterationBasedBatchSampler only offsets its counter — the stream
+    # restarts): a resumed run consumes the same batch sequence the
+    # uninterrupted run would have. threads backend: position is a pure
+    # function of the step counter (index-math fast-forward, no decode,
+    # works per-host). grain backend: restore the iterator-state sidecar
+    # saved next to the checkpoint (single-host; saved by rank 0).
+    batches_per_iter = n_accum if n_accum > 1 else 1
+    consumed_at_start = max(start_iter, 0) * batches_per_iter
+    train_backend = config.data.loader_backend
+    if train_backend == "auto":
+        train_backend = "grain"
+    loader_state = None
+    skip = 0
+    if consumed_at_start:
+        if train_backend == "grain":
+            if (config.train.resume and config.train.resume_all
+                    and start_iter == int(state.step)
+                    and process_count == 1):
+                loader_state = load_loader_state(config.train.resume)
+            if loader_state is not None:
+                logger.info("resume: grain stream restored from the "
+                            "checkpoint's .loader_state sidecar")
+            else:
+                logger.info(
+                    "resume: grain stream restarts from batch 0 (reference "
+                    "IterationBasedBatchSampler behavior) — exact data-"
+                    "stream resume needs a single-host --resume_all with a "
+                    ".loader_state sidecar, or the 'threads' loader backend")
+        else:
+            skip = consumed_at_start
+            logger.info(f"resume: fast-forwarding the data stream by "
+                        f"{skip} batches (index math, no decode)")
+    train_iter = iter(build_loader(
+        config, "train", shard_index=process_index, shard_count=process_count,
+        skip_batches=skip, loader_state=loader_state,
+    ))
+    resumable = None
+    if train_backend == "grain" and process_index == 0:
+        # snapshot window must out-span the prefetch overshoot:
+        # device_prefetch holds prefetch_buffer groups of
+        # (steps_per_dispatch | accum_steps) host batches each
+        depth = n_dispatch if n_dispatch > 1 else max(n_accum, 1)
+        resumable = ResumableIterator(
+            train_iter,
+            history=8 + 2 * (config.data.prefetch_buffer + 2) * depth,
+        )
+        train_iter = resumable
+
+    def loader_sidecar(iters_done: int):
+        """grain stream state with exactly ``iters_done`` optimizer
+        iterations' worth of batches consumed — saved alongside the
+        checkpoint written at that boundary (None for non-grain backends,
+        where resume recomputes the position from the step counter)."""
+        if resumable is None:
+            return None
+        return resumable.state_after(
+            (iters_done - start_iter) * batches_per_iter
+        )
+
     if config.train.eval_untrained:
         # sanity floor: evaluate the untrained model first (train.py:187)
         metrics_out, _, _ = inference(
@@ -199,9 +263,7 @@ def train_val(config: SvolConfig, logger) -> None:
     # (data/pipeline.py:device_prefetch). dataloading_time absorbs any
     # residual wait; prepare_inputs_time (the reference's H2D meter,
     # train.py:217) measures only the enqueue of the following batch.
-    import itertools
-
-    host_iter = itertools.chain([first], train_iter)
+    host_iter = train_iter
     stack_n = n_dispatch if n_dispatch > 1 else n_accum
     if stack_n > 1:
         # stack N host batches on a leading axis for the scanned programs:
@@ -275,6 +337,7 @@ def train_val(config: SvolConfig, logger) -> None:
                 periodic_checkpoint_name(config, iter_i),
                 state, config,
                 wait=not config.train.async_checkpoint,
+                loader_state=loader_sidecar(iter_i + 1),
             )
 
         if (iter_i + 1) % config.train.val_interval == 0 or config.train.debug:
@@ -338,6 +401,7 @@ def train_val(config: SvolConfig, logger) -> None:
                         best_checkpoint_name(config),
                         state, config,
                         wait=not config.train.async_checkpoint,
+                        loader_state=loader_sidecar(iter_i + 1),
                     )
             else:
                 early_stop_count += 1

@@ -33,7 +33,6 @@ boxes; both together reproduce the reference exactly.
 """
 from __future__ import annotations
 
-import itertools
 import os
 import random
 from dataclasses import dataclass, field
@@ -143,7 +142,7 @@ class SVOLDataset:
         # batches are fetched sequentially, so its count is exactly its epoch
         # number. Each grain worker process carries its own copy, which is
         # fine — grain's index->worker assignment is deterministic.
-        self._visit: Dict[int, itertools.count] = {}
+        self._visit: Dict[int, int] = {}
         self.pairs = build_pair_list(
             root, anno_root, phase,
             video_dataset=video_dataset, sketch_dataset=sketch_dataset,
@@ -154,6 +153,21 @@ class SVOLDataset:
 
     def __len__(self) -> int:
         return len(self.pairs)
+
+    def advance_visits(self, indices) -> None:
+        """Advance the per-index augmentation visit counters as if each index
+        had been fetched once, WITHOUT decoding anything.
+
+        This is the fast-forward half of exact data-stream resume
+        (pipeline.threaded_batches ``skip_batches``): the augmentation RNG is
+        a pure function of (seed, idx, visit), so replaying the visit counts
+        of the skipped batches makes the first post-resume fetch draw exactly
+        the flips the uninterrupted run would have drawn. The reference's
+        IterationBasedBatchSampler (lib/dataset/sampler/iteration_based_batch_sampler.py)
+        only offsets its iteration counter — its stream restarts — so this
+        exceeds reference behavior."""
+        for idx in indices:
+            self._visit[int(idx)] = self._visit.get(int(idx), 0) + 1
 
     # -- paths ------------------------------------------------------------
     def _video_dir(self, video_id: str) -> str:
@@ -173,6 +187,37 @@ class SVOLDataset:
 
     # -- item -------------------------------------------------------------
     def __getitem__(self, idx: int) -> SVOLExample:
+        """Decode + augment (threads backend). The augmentation RNG is a pure
+        function of (seed, idx, visit count) — see ``_visit`` above — which
+        keeps the stream deterministic because the threads producer fetches
+        batches strictly in order. The grain backend instead calls
+        :meth:`example` with ``augment=False`` and applies the flips in a
+        grain RandomMapTransform (pipeline.py), whose RNG grain derives from
+        the global record index: grain's 16-thread, 500-record read-ahead
+        calls ``__getitem__`` far ahead of ``next()`` and in scheduling-
+        dependent order, so dataset-side counters can never be deterministic
+        there — per-record RNG state is, and it travels with grain's
+        checkpointable iterator state."""
+        ex = self.example(idx)
+        if self.phase == "train":
+            visit = self._visit.get(idx, 0)
+            self._visit[idx] = visit + 1
+            rng = random.Random(
+                (self.seed * 1_000_003 + idx) ^ (visit * 2_654_435_761)
+            )
+        else:
+            # the reference applies RandomHorizontalFlip at EVERY phase
+            # (svol_dataset.py:218-229, unconditional transform) — keep the
+            # quirk, but idx-seeded so eval stays deterministic
+            rng = random.Random(idx)
+        return apply_hflip(
+            ex, rng,
+            hflip_prob=self.hflip_prob,
+            per_frame_flip=self.per_frame_flip,
+            flip_boxes=self.flip_boxes,
+        )
+
+    def example(self, idx: int) -> SVOLExample:
         video_id, sketch_id, sketch_ds = self.pairs[idx]
         category = category_of(sketch_id)
         vid_annos = self.annos[video_id]
@@ -180,13 +225,6 @@ class SVOLDataset:
         w, h = vid_annos["size"]
 
         sampled = sample_frame_indices(total_frames, self.T, self.tight)
-        if self.phase == "train":
-            visit = next(self._visit.setdefault(idx, itertools.count()))
-            rng = random.Random(
-                (self.seed * 1_000_003 + idx) ^ (visit * 2_654_435_761)
-            )
-        else:
-            rng = random.Random(idx)
 
         # decode frames + sketch (native batched decoder when available —
         # one C++ call per clip instead of T python decode round-trips)
@@ -207,27 +245,9 @@ class SVOLDataset:
             self._sketch_path(sketch_id, sketch_ds), self.image_size
         )[None]
 
-        if self.per_frame_flip:
-            # reference-exact: independent flip decision per frame
-            # (svol_dataset.py:218-232, transform inside the frame loop)
-            frame_flips = np.array(
-                [rng.random() < self.hflip_prob for _ in range(len(frames))]
-            )
-            if frame_flips.any():
-                frames = np.where(
-                    frame_flips[:, None, None, None],
-                    frames[:, :, ::-1, :], frames,
-                )
-        else:
-            flip_video = rng.random() < self.hflip_prob
-            frame_flips = np.full((len(frames),), flip_video)
-            if flip_video:
-                frames = frames[:, :, ::-1, :].copy()
-        flip_sketch = rng.random() < self.hflip_prob
-        if flip_sketch:
-            sketch = sketch[:, :, ::-1, :].copy()
-
-        # dense targets over annotated sampled frames
+        # dense targets over annotated sampled frames (UNAUGMENTED — flips
+        # are applied afterwards by apply_hflip, so both loader backends can
+        # drive the draw from their own deterministic RNG source)
         sampled_set = set(sampled)
         boxes = np.zeros((self.T, self.K, 4), np.float32)
         box_valid = np.zeros((self.T, self.K), bool)
@@ -243,10 +263,7 @@ class SVOLDataset:
             for obj in anno_list:
                 if obj["label"] != category or n >= self.K:
                     continue
-                b = xyxy_abs_to_cxcywh_norm(obj["bbox"], w, h)
-                if self.flip_boxes and t < len(frame_flips) and frame_flips[t]:
-                    b[0] = 1.0 - b[0]
-                boxes[t, n] = b
+                boxes[t, n] = xyxy_abs_to_cxcywh_norm(obj["bbox"], w, h)
                 box_valid[t, n] = True
                 ids.append(int(obj["track_id"]))
                 n += 1
@@ -276,6 +293,58 @@ class SVOLDataset:
                 "total_boxes": int(box_valid.sum()),
             },
         )
+
+
+def apply_hflip(
+    ex: SVOLExample,
+    rng,
+    hflip_prob: float,
+    per_frame_flip: bool,
+    flip_boxes: bool,
+) -> SVOLExample:
+    """Horizontal-flip augmentation as a pure function of an explicit RNG —
+    the reference's RandomHorizontalFlip (svol_dataset.py:218-232), with the
+    box cx mirrored to match (which the reference forgets; SURVEY §2 C2).
+
+    ``rng`` needs only ``.random()`` — a ``random.Random`` (threads backend:
+    seeded from (seed, idx, visit), dataset.__getitem__) or an
+    ``np.random.Generator`` (grain backend: handed per-record by grain's
+    RandomMapTransform machinery, seeded from the global record index, so the
+    draw survives checkpoint/restore via the iterator state alone).
+
+    Draw order (per-frame flips over the *valid* frames, then one sketch
+    draw) is fixed so the two backends consume the stream identically."""
+    T = ex.video.shape[0]
+    n_valid = int(ex.video_mask.sum())
+    flips = np.zeros((T,), bool)
+    if per_frame_flip:
+        # reference-exact: independent flip decision per frame
+        # (svol_dataset.py:230, transform applied inside the frame loop)
+        flips[:n_valid] = [rng.random() < hflip_prob for _ in range(n_valid)]
+    else:
+        flips[:n_valid] = rng.random() < hflip_prob
+    video = ex.video
+    if flips.any():
+        # padded frames stay all-zero: their flip flag is False
+        video = np.where(flips[:, None, None, None], video[:, :, ::-1, :], video)
+    sketch = ex.sketch
+    if rng.random() < hflip_prob:
+        sketch = sketch[:, :, ::-1, :].copy()
+    boxes = ex.boxes
+    if flip_boxes:
+        flip_box = flips[:, None] & ex.box_valid
+        if flip_box.any():
+            boxes = boxes.copy()
+            boxes[..., 0] = np.where(flip_box, 1.0 - boxes[..., 0], boxes[..., 0])
+    return SVOLExample(
+        video=video,
+        sketch=sketch,
+        video_mask=ex.video_mask,
+        sketch_mask=ex.sketch_mask,
+        boxes=boxes,
+        box_valid=ex.box_valid,
+        meta=ex.meta,
+    )
 
 
 def build_dataset(config: SvolConfig, phase: str) -> SVOLDataset:

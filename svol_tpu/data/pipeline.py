@@ -25,21 +25,47 @@ from typing import Any, Dict, Iterator, List, Optional, Tuple
 import numpy as np
 
 from svol_tpu.config import SvolConfig
-from svol_tpu.data.dataset import SVOLDataset, build_dataset, collate
+from svol_tpu.data.dataset import (
+    SVOLDataset,
+    SVOLExample,
+    apply_hflip,
+    build_dataset,
+    collate,
+)
 
 
 class _GrainSource:
     """Adapts SVOLDataset to grain's RandomAccessDataSource protocol,
-    returning only the device-bound arrays (metadata is eval-only)."""
+    returning only the device-bound arrays (metadata is eval-only).
+
+    Returns UNAUGMENTED examples: grain's read layer calls ``__getitem__``
+    from 16 read-ahead threads in scheduling-dependent order
+    (ReadOptions(num_threads=16, prefetch_buffer_size=500)), so any
+    dataset-side RNG state would be nondeterministic AND invisible to
+    grain's checkpointable iterator state. Augmentation happens downstream
+    in ``_HFlipAugment`` with grain's own per-record RNG."""
 
     def __init__(self, dataset: SVOLDataset):
         self._ds = dataset
+
+    def __repr__(self) -> str:
+        # stable across objects AND processes: grain embeds repr(data_source)
+        # in its iterator state and refuses to set_state across a mismatch —
+        # the default object repr (memory address) would reject every
+        # .loader_state sidecar restore. Identity = what determines the
+        # stream's content.
+        d = self._ds
+        return (
+            f"_GrainSource(SVOLDataset(phase={d.phase}, n={len(d)}, "
+            f"T={d.T}, K={d.K}, size={d.image_size}, seed={d.seed}, "
+            f"video={d.video_dataset}, sketch={d.sketch_dataset}))"
+        )
 
     def __len__(self) -> int:
         return len(self._ds)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        ex = self._ds[int(idx)]
+        ex = self._ds.example(int(idx))
         return {
             "src_sketch": ex.sketch,
             "src_video": ex.video,
@@ -50,6 +76,43 @@ class _GrainSource:
         }
 
 
+def _make_hflip_augment(hflip_prob: float, per_frame_flip: bool,
+                        flip_boxes: bool):
+    """Reference RandomHorizontalFlip (svol_dataset.py:218-232) as a grain
+    RandomMapTransform — see dataset.apply_hflip for the math. A factory so
+    the grain import stays lazy; grain ships transforms to worker processes
+    via cloudpickle (grain_pool.py), which handles the nested class."""
+    import grain.python as grain
+
+    class _HFlipAugment(grain.RandomMapTransform):
+        def random_map(self, element, rng):
+            ex = SVOLExample(
+                video=element["src_video"],
+                sketch=element["src_sketch"],
+                video_mask=element["src_video_mask"],
+                sketch_mask=element["src_sketch_mask"],
+                boxes=element["boxes"],
+                box_valid=element["box_valid"],
+                meta=None,
+            )
+            ex = apply_hflip(
+                ex, rng,
+                hflip_prob=hflip_prob,
+                per_frame_flip=per_frame_flip,
+                flip_boxes=flip_boxes,
+            )
+            return {
+                "src_sketch": ex.sketch,
+                "src_video": ex.video,
+                "src_sketch_mask": ex.sketch_mask,
+                "src_video_mask": ex.video_mask,
+                "boxes": ex.boxes,
+                "box_valid": ex.box_valid,
+            }
+
+    return _HFlipAugment()
+
+
 def grain_train_iterator(
     dataset: SVOLDataset,
     batch_size: int,
@@ -57,8 +120,18 @@ def grain_train_iterator(
     seed: int = 1,
     shard_index: int = 0,
     shard_count: int = 1,
+    initial_state: Optional[bytes] = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Infinite shuffled per-host-sharded batch stream via Grain."""
+    """Infinite shuffled per-host-sharded batch stream via Grain.
+
+    ``initial_state`` — bytes from a prior iterator's ``get_state()`` (the
+    ``.loader_state`` checkpoint sidecar) — positions the stream exactly
+    where the saving run left off, so a resumed run consumes the same batch
+    sequence the uninterrupted run would have. Grain's state is the COMPLETE
+    stream state: the source yields unaugmented examples and the flips are
+    drawn by ``_HFlipAugment`` from grain's per-record RNG (seeded from the
+    sampler seed + global record index), so augmentation draws restore too.
+    """
     import grain.python as grain
 
     sampler = grain.IndexSampler(
@@ -70,13 +143,74 @@ def grain_train_iterator(
         num_epochs=None,  # iteration-based, like IterationBasedBatchSampler
         seed=seed,
     )
+    operations = []
+    if dataset.phase == "train" and dataset.hflip_prob > 0:
+        operations.append(_make_hflip_augment(
+            dataset.hflip_prob, dataset.per_frame_flip, dataset.flip_boxes,
+        ))
+    operations.append(grain.Batch(batch_size=batch_size, drop_remainder=True))
     loader = grain.DataLoader(
         data_source=_GrainSource(dataset),
         sampler=sampler,
-        operations=[grain.Batch(batch_size=batch_size, drop_remainder=True)],
+        operations=operations,
         worker_count=num_workers,
     )
-    return iter(loader)
+    it = iter(loader)
+    if initial_state is not None:
+        it.set_state(initial_state)
+    return it
+
+
+class ResumableIterator:
+    """Wraps a grain iterator, keeping a rolling window of ``get_state()``
+    snapshots so the state at ANY recent batch boundary can be recovered.
+
+    Grain's state is the complete stream state — sampler position AND
+    augmentation draws, because the flips are drawn inside the loader from
+    grain's per-record RNG (``_make_hflip_augment``), not from dataset-side
+    counters the state couldn't see.
+
+    Why not just ``get_state()`` at checkpoint time: ``device_prefetch`` (and
+    the ``_stacked`` grouping in cli/train.py) pull the host stream several
+    batches AHEAD of the optimizer step, so the live iterator state at save
+    time is past the position the checkpoint's step counter corresponds to.
+    Saving it verbatim would make a resumed run skip the batches that sat in
+    the prefetch queue when the run died. Snapshotting *before* every fetch
+    lets ``state_after(consumed)`` return the state in which exactly
+    ``consumed`` batches have been drawn — the position a fresh iterator must
+    take over from.
+    """
+
+    def __init__(self, it, history: int = 64):
+        from collections import deque
+
+        self._it = it
+        self._states: "deque" = deque(maxlen=max(2, history))
+        self._fetched = 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        self._states.append((self._fetched, self._it.get_state()))
+        self._fetched += 1
+        return next(self._it)
+
+    @property
+    def fetched(self) -> int:
+        return self._fetched
+
+    def state_after(self, consumed: int) -> Optional[bytes]:
+        """``.loader_state`` sidecar (grain iterator state) for the boundary
+        with exactly ``consumed`` batches drawn, or None if that boundary has
+        aged out of the snapshot window (raise ``history``) or has not been
+        reached yet."""
+        if consumed == self._fetched:
+            return self._it.get_state()
+        for fetched, state in self._states:
+            if fetched == consumed:
+                return state
+        return None
 
 
 def threaded_batches(
@@ -91,9 +225,19 @@ def threaded_batches(
     prefetch: int = 2,
     shard_index: int = 0,
     shard_count: int = 1,
+    skip_batches: int = 0,
 ) -> Iterator[Tuple[Dict[str, np.ndarray], Dict[str, Any]]]:
     """Ordered batch stream with background decoding; yields
     (batch_arrays, {'targets': arrays, 'meta': [dicts]}).
+
+    ``skip_batches`` fast-forwards the stream by N batches at zero decode
+    cost: the epoch shuffles and the per-index augmentation visit counters
+    advance exactly as if the batches had been fetched (the augmentation RNG
+    is a pure function of (seed, idx, visit) — dataset.py), so batch
+    ``skip_batches`` here is bit-identical to batch ``skip_batches`` of an
+    unskipped stream. This makes ``--resume_all`` reproduce the uninterrupted
+    run's data order: position is a pure function of the restored step
+    counter, per host, with nothing extra in the checkpoint.
 
     ``pad_to_batch`` keeps every yielded batch at exactly ``batch_size`` by
     replicating the final example of a short tail batch; ``meta`` lists only
@@ -138,8 +282,15 @@ def threaded_batches(
         return False
 
     def producer() -> None:
+        ep = epochs()
+        for _ in range(skip_batches):
+            batch_idx = next(ep, None)
+            if batch_idx is None:
+                break
+            # replay augmentation state without decoding (see docstring)
+            dataset.advance_visits(batch_idx)
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
-            for batch_idx in epochs():
+            for batch_idx in ep:
                 if stop.is_set():
                     return
                 examples = list(pool.map(dataset.__getitem__, batch_idx))
@@ -199,9 +350,17 @@ def build_loader(
     backend: str = "auto",
     shard_index: int = 0,
     shard_count: int = 1,
+    skip_batches: int = 0,
+    loader_state: Optional[bytes] = None,
 ):
     """Loader factory (the build_dataloader equivalent,
-    svol_dataloader.py:59-84)."""
+    svol_dataloader.py:59-84).
+
+    Exact data-stream resume (train phase): ``loader_state`` restores a grain
+    iterator from a checkpoint's ``.loader_state`` sidecar; ``skip_batches``
+    fast-forwards the threads backend by index math (and is ignored by grain,
+    where skipping would mean decoding every skipped batch).
+    """
     ds = dataset if dataset is not None else build_dataset(config, phase)
     train = phase == "train"
     bs = config.data.bs if train else config.data.eval_bs
@@ -214,6 +373,7 @@ def build_loader(
         return grain_train_iterator(
             ds, bs, num_workers=config.data.num_workers, seed=config.train.seed,
             shard_index=shard_index, shard_count=shard_count,
+            initial_state=loader_state,
         )
     stream = threaded_batches(
         ds, bs,
@@ -226,6 +386,7 @@ def build_loader(
         prefetch=config.data.prefetch_buffer,
         shard_index=shard_index,
         shard_count=shard_count,
+        skip_batches=skip_batches if train else 0,
     )
     if not train:
         return stream

@@ -57,6 +57,7 @@ def save_checkpoint(
     state: TrainState,
     config: SvolConfig,
     wait: bool = True,
+    loader_state: Optional[bytes] = None,
 ) -> str:
     """``wait=False`` (--async_checkpoint): the device->host snapshot happens
     before this returns, but the directory write runs on a background thread
@@ -82,7 +83,26 @@ def save_checkpoint(
         ckptr.wait_until_finished()
     with open(path + ".config.json", "w") as f:
         f.write(config.to_json())
+    if loader_state is not None:
+        # grain input-stream position at exactly this checkpoint's step (see
+        # data/pipeline.py::ResumableIterator) — restored by --resume_all so
+        # the resumed run consumes the same batches the uninterrupted run
+        # would have. Written atomically (rename) so a crash mid-save can't
+        # leave a torn sidecar next to a valid checkpoint.
+        tmp = path + ".loader_state.tmp"
+        with open(tmp, "wb") as f:
+            f.write(loader_state)
+        os.replace(tmp, path + ".loader_state")
     return path
+
+
+def load_loader_state(path: str) -> Optional[bytes]:
+    """Read a checkpoint's grain input-stream sidecar, if one was saved."""
+    sidecar = os.path.abspath(path) + ".loader_state"
+    if not os.path.exists(sidecar):
+        return None
+    with open(sidecar, "rb") as f:
+        return f.read()
 
 
 def restore_checkpoint(

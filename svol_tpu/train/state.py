@@ -154,6 +154,24 @@ def current_lr(state: TrainState) -> float:
     return float(state.opt_state.hyperparams["learning_rate"])
 
 
+def init_sample_batch(config: SvolConfig, batch_size: int = 1):
+    """Shape-only batch for ``model.init`` — flax init is shape-driven, so
+    zero pixels + all-valid masks produce the same param tree as a real
+    batch, without pulling (and thereby advancing) the training stream.
+    batch_size=1 also keeps init cheap (CLAUDE.md: full-batch init took
+    ~500 s through the TPU tunnel)."""
+    import numpy as np
+
+    d = config.data
+    s = d.image_size
+    return {
+        "src_sketch": np.zeros((batch_size, 1, s, s, 3), np.uint8),
+        "src_video": np.zeros((batch_size, d.num_frames, s, s, 3), np.uint8),
+        "src_sketch_mask": np.ones((batch_size, 1), np.float32),
+        "src_video_mask": np.ones((batch_size, d.num_frames), np.float32),
+    }
+
+
 def create_train_state(
     config: SvolConfig,
     model,
