@@ -44,7 +44,7 @@ def fixture_root(tmp_path_factory):
     return root
 
 
-def make_cfg(root, tmp, backend="threads", resume=""):
+def make_cfg(root, tmp, backend="threads", resume="", accum_steps=1):
     return SvolConfig(
         data=DataConfig(
             root=root, anno_root=os.path.join(root, "annos"),
@@ -63,6 +63,7 @@ def make_cfg(root, tmp, backend="threads", resume=""):
             log_dir=os.path.join(tmp, "logs"),
             num_iters=4, save_interval=2, val_interval=1000,
             resume=resume, resume_all=bool(resume),
+            accum_steps=accum_steps,
         ),
     )
 
@@ -147,6 +148,39 @@ def test_grain_resumable_iterator_state_roundtrip(fixture_root):
     assert wrapped.state_after(7) is not None
 
 
+def test_grain_worker_processes_match_inprocess_stream(fixture_root):
+    """The flip RandomMapTransform rides grain's per-record RNG, so the
+    stream is a pure function of (seed, record index) — worker_count=1
+    (separate process, transform shipped via cloudpickle) must produce the
+    byte-identical stream to worker_count=0, and iterator-state restore must
+    work across the process boundary too. With the old dataset-side visit
+    counters this could not hold: each worker had its own counter copy."""
+    cfg = make_cfg(fixture_root, "/tmp", backend="grain")
+
+    def take_n(workers, n, initial_state=None):
+        ds = build_dataset(cfg, "train")
+        it = grain_train_iterator(
+            ds, 4, num_workers=workers, seed=3, initial_state=initial_state
+        )
+        out, states = [], []
+        for _ in range(n):
+            states.append(it.get_state())
+            out.append(next(it))
+        return out, states
+
+    inproc, _ = take_n(0, 6)
+    workered, states = take_n(1, 6)
+    for a, b in zip(inproc, workered):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+    # restore mid-stream into a worker-process loader
+    resumed, _ = take_n(1, 2, initial_state=states[4])
+    for i, got in zip((4, 5), resumed):
+        for k in inproc[i]:
+            np.testing.assert_array_equal(inproc[i][k], got[k], err_msg=k)
+
+
 def _final_ckpt_params(save_dir):
     import orbax.checkpoint as ocp
 
@@ -167,8 +201,17 @@ def _assert_trees_identical(a, b):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
-@pytest.mark.parametrize("backend", ["threads", "grain"])
-def test_resume_reproduces_uninterrupted_run(fixture_root, tmp_path, backend):
+@pytest.mark.parametrize("backend,accum", [
+    ("threads", 1),
+    ("grain", 1),
+    # accum exercises the batches_per_iter arithmetic: each optimizer
+    # iteration consumes accum_steps host batches, so the sidecar / fast-
+    # forward position is iters x accum, not iters
+    ("grain", 2),
+])
+def test_resume_reproduces_uninterrupted_run(
+    fixture_root, tmp_path, backend, accum
+):
     """Gold test: params after (4 iters) == params after (2 iters -> kill ->
     --resume_all 2 more), bit for bit — data order, augmentation draws and
     optimizer trajectory all line up. Fails if the stream restarts on resume
@@ -179,7 +222,9 @@ def test_resume_reproduces_uninterrupted_run(fixture_root, tmp_path, backend):
         "SVOL-resume-test", str(tmp_path / "logs"), distributed_rank=0
     )
 
-    cfg_a = make_cfg(fixture_root, str(tmp_path / "a"), backend=backend)
+    cfg_a = make_cfg(
+        fixture_root, str(tmp_path / "a"), backend=backend, accum_steps=accum
+    )
     train_val(cfg_a, logger)
     params_a, opt_a = _final_ckpt_params(cfg_a.train.checkpoint)
 
@@ -192,7 +237,8 @@ def test_resume_reproduces_uninterrupted_run(fixture_root, tmp_path, backend):
         )
 
     cfg_b = make_cfg(
-        fixture_root, str(tmp_path / "b"), backend=backend, resume=mid[0]
+        fixture_root, str(tmp_path / "b"), backend=backend, resume=mid[0],
+        accum_steps=accum,
     )
     train_val(cfg_b, logger)
     params_b, opt_b = _final_ckpt_params(cfg_b.train.checkpoint)
