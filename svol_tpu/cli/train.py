@@ -41,6 +41,11 @@ from svol_tpu.train.checkpoints import (
     save_checkpoint,
     wait_for_checkpoints,
 )
+from svol_tpu.train.preemption import (
+    EXIT_PREEMPTED,
+    PreemptionGuard,
+    preempt_checkpoint_name,
+)
 from svol_tpu.train.state import (
     PlateauTracker,
     count_parameters,
@@ -54,7 +59,9 @@ from svol_tpu.utils.metrics_writer import MetricsWriter
 from svol_tpu.utils.profiling import maybe_trace
 
 
-def train_val(config: SvolConfig, logger) -> None:
+def train_val(config: SvolConfig, logger) -> bool:
+    """Returns True if training stopped on a preemption signal (the caller
+    exits EXIT_PREEMPTED so supervise/schedulers relaunch-and-resume)."""
     plan = make_mesh_plan(
         config.train.dp_devices,
         seq_axis=config.train.sp_devices,
@@ -293,6 +300,11 @@ def train_val(config: SvolConfig, logger) -> None:
             lambda b: plan.shard_batch(dict(b)),
             size=config.data.prefetch_buffer,
         )
+    # graceful preemption: first SIGTERM latches a flag (checked at the
+    # step boundary below), second SIGTERM kills (train/preemption.py);
+    # no-op when train_val runs off the main thread (in-process tests)
+    guard = PreemptionGuard().install()
+    preempted = False
     for group_start in range(
         max(start_iter, 0), config.train.num_iters, n_dispatch
     ):
@@ -417,9 +429,36 @@ def train_val(config: SvolConfig, logger) -> None:
             if config.train.debug:
                 break
 
+        if guard.requested:
+            # SIGTERM arrived: the in-flight step finished (the state above
+            # is a clean boundary at iter_i+1) — persist it WITH the data-
+            # stream sidecar so --resume_all continues the exact run, then
+            # exit fast (the grace period is for saving, not for finishing
+            # the final validation).
+            drain_metrics()
+            wait_for_checkpoints()  # serialize with in-flight async saves
+            if process_index == 0:
+                path = save_checkpoint(
+                    config.train.checkpoint,
+                    preempt_checkpoint_name(config, iter_i + 1),
+                    state, config, wait=True,
+                    loader_state=loader_sidecar(iter_i + 1),
+                )
+                logger.info(
+                    f"preemption: SIGTERM at iter {iter_i + 1}; checkpoint "
+                    f"saved to {path}; exiting {EXIT_PREEMPTED} for "
+                    f"relaunch-and-resume"
+                )
+            preempted = True
+            break
+    guard.uninstall()
+
     # drain any in-flight --async_checkpoint writes before the process can
     # exit (background threads hold the uncommitted checkpoint directory)
     wait_for_checkpoints()
+
+    if preempted:
+        return True
 
     if config.train.fast_val:
         # end-of-training full host evaluation (AP + JSONL artifacts) — the
@@ -433,6 +472,7 @@ def train_val(config: SvolConfig, logger) -> None:
             f"\n>>>>> Final evaluation (best mIoU@R1 {best_metric:.2f})\n"
             f"{pprint.pformat(metrics_out['brief'], indent=4)}\n"
         )
+    return False
 
 
 def main(argv=None) -> None:
@@ -452,7 +492,10 @@ def main(argv=None) -> None:
     if jax.process_index() == 0:
         logger.info("\n" + config_to_markdown(config))
     logger.info(f"devices: {len(jax.devices())}, processes: {jax.process_count()}")
-    train_val(config, logger)
+    if train_val(config, logger):
+        import sys
+
+        sys.exit(EXIT_PREEMPTED)
 
 
 if __name__ == "__main__":
