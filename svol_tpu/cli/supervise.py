@@ -100,10 +100,20 @@ def run_with_restarts(
     if runner is None:
         runner = ForwardingRunner()
     attempt = 0
+    launches = 0
     while True:
-        resume = find_latest_checkpoint(checkpoint_dir) if attempt else None
+        # EVERY launch (including the first) resumes from the newest
+        # checkpoint in the dir when one exists: a supervisor relaunched by
+        # its scheduler after a graceful eviction must continue from the
+        # preempt_* checkpoint its previous incarnation saved, not restart
+        # training from scratch (ADVICE r4 medium).
+        resume = find_latest_checkpoint(checkpoint_dir)
+        if resume and launches == 0:
+            log(f"[supervise] found existing checkpoint {resume}; "
+                f"continuing a previous run")
         cmd = build_cmd(resume)
         log(f"[supervise] attempt {attempt}: {' '.join(cmd)}")
+        launches += 1
         code = runner(cmd)
         if code == 0:
             log("[supervise] training finished cleanly")
@@ -115,17 +125,20 @@ def run_with_restarts(
             log(f"[supervise] stop requested; child exited {code} after "
                 f"checkpointing — not relaunching")
             return code
+        if code == EXIT_PREEMPTED:
+            # graceful preemption (train/preemption.py): the trainer already
+            # checkpointed at a step boundary and exited clean — the backoff
+            # exists to ride out crash loops, not to delay a planned resume.
+            # Deliberately NOT counted toward max_restarts: a periodically
+            # preempted but otherwise healthy run must never exhaust its
+            # crash budget on planned evictions (ADVICE r4 low).
+            log(f"[supervise] graceful preemption; resuming immediately from "
+                f"{find_latest_checkpoint(checkpoint_dir) or 'scratch'}")
+            continue
         attempt += 1
         if attempt > max_restarts:
             log(f"[supervise] giving up after {max_restarts} restarts (exit {code})")
             return code
-        if code == EXIT_PREEMPTED:
-            # graceful preemption (train/preemption.py): the trainer already
-            # checkpointed at a step boundary and exited clean — the backoff
-            # exists to ride out crash loops, not to delay a planned resume
-            log(f"[supervise] graceful preemption; resuming immediately from "
-                f"{find_latest_checkpoint(checkpoint_dir) or 'scratch'}")
-            continue
         log(f"[supervise] training exited {code}; restarting from "
             f"{find_latest_checkpoint(checkpoint_dir) or 'scratch'} "
             f"in {backoff_seconds:.0f}s")

@@ -118,7 +118,7 @@ def train_val(config: SvolConfig, logger) -> bool:
     # so its stream can be positioned exactly at the restored step
     state = create_train_state(
         config, model, jax.random.PRNGKey(config.train.seed),
-        init_sample_batch(config),
+        init_sample_batch(config, data_axis_size=plan.data_axis_size),
     )
     state = plan.replicate(state)
     n_params = count_parameters(state.params)
@@ -305,157 +305,168 @@ def train_val(config: SvolConfig, logger) -> bool:
     # no-op when train_val runs off the main thread (in-process tests)
     guard = PreemptionGuard().install()
     preempted = False
-    for group_start in range(
-        max(start_iter, 0), config.train.num_iters, n_dispatch
-    ):
-        iter_i = group_start + n_dispatch - 1  # last iteration in the group
-        t0 = time.time()
-        device_batch = next(device_iter)
-        time_meters["dataloading_time"].update(time.time() - t0)
-        time_meters["prepare_inputs_time"].update(0.0)
-        tictoc = time.time()
-
-        profile_this = config.train.profile and group_start <= 10 <= iter_i
-        with maybe_trace(config.train.log_dir, enabled=profile_this):
-            state, metrics = train_step(state, device_batch, rng)
-        pending_metrics.append(metrics)
-        time_meters["model_step_time"].update(
-            (time.time() - tictoc) / n_dispatch
-        )
-
-        if group_start % config.train.log_interval == 0:
-            drain_metrics()
-            time_stats = "\n".join(
-                f"\t> {k} {v.avg:.4f}" for k, v in time_meters.items()
-            )
-            loss_str = "\n".join(
-                f"\t> {k} {v.avg:.4f}" for k, v in loss_meters.items()
-            )
-            logger.info(
-                f"Training Logs\n[Iter] {iter_i:06d}\n"
-                f"[Time]\n{time_stats}\n[Loss]\n{loss_str}\n"
-            )
-            if writer:
-                writer.log(iter_i, "train",
-                           {k: v.avg for k, v in loss_meters.items()})
-
-        if (
-            config.train.save_interval > 0
-            and (iter_i + 1) % config.train.save_interval == 0
-            and process_index == 0
+    try:
+        for group_start in range(
+            max(start_iter, 0), config.train.num_iters, n_dispatch
         ):
-            save_checkpoint(
-                config.train.checkpoint,
-                periodic_checkpoint_name(config, iter_i),
-                state, config,
-                wait=not config.train.async_checkpoint,
-                loader_state=loader_sidecar(iter_i + 1),
+            iter_i = group_start + n_dispatch - 1  # last iteration in the group
+            t0 = time.time()
+            device_batch = next(device_iter)
+            time_meters["dataloading_time"].update(time.time() - t0)
+            time_meters["prepare_inputs_time"].update(0.0)
+            tictoc = time.time()
+
+            profile_this = config.train.profile and group_start <= 10 <= iter_i
+            with maybe_trace(config.train.log_dir, enabled=profile_this):
+                state, metrics = train_step(state, device_batch, rng)
+            pending_metrics.append(metrics)
+            time_meters["model_step_time"].update(
+                (time.time() - tictoc) / n_dispatch
             )
 
-        if (iter_i + 1) % config.train.val_interval == 0 or config.train.debug:
-            drain_metrics()
-            if config.train.fast_val:
-                # on-device mIoU@R1 / R1@thd (evaluate/device.py): identical
-                # selection semantics to the host path at k=1, no JSONL
-                # assembly / AP worker pool per val_interval. The full host
-                # suite runs below only when this finds a new best (and the
-                # CLI caller runs it once at the end of training).
-                brief = fast_validation(
-                    ema_eval_view(state), eval_step, val_loader_factory(),
-                    config.model.num_queries_per_frame, plan=eval_plan,
+            if group_start % config.train.log_interval == 0:
+                drain_metrics()
+                time_stats = "\n".join(
+                    f"\t> {k} {v.avg:.4f}" for k, v in time_meters.items()
                 )
-            else:
-                results_filename = f"{cur_time()}_{config.run_tag('val')}.jsonl"
-                metrics_out, eval_loss_meters, _ = inference(
-                    config, ema_eval_view(state), eval_step,
-                    val_loader_factory(),
-                    results_filename, logger=logger, plan=eval_plan,
-                )
-                brief = metrics_out["brief"]
-            cur_metric = brief["SVOL-full-mIoU@R1"]
-            if writer:
-                writer.log(iter_i + 1, "val",
-                           {k: float(v) for k, v in brief.items()})
-            logger.info(
-                f"\n>>>>> Evaluation\n[Iter] {iter_i + 1:03d}\n"
-                f"[Metrics]\n{pprint.pformat(brief, indent=4)}\n"
-            )
-            if config.train.scheduler == "reducelronplateau":
-                # torch ReduceLROnPlateau(mode=max, factor=.1, patience=1,
-                # threshold=.5, rel) semantics — train.py:134-143. The
-                # tracker keeps its OWN best (updated only on a >1.5x
-                # improvement), distinct from the early-stop/checkpoint
-                # best_metric below, which ratchets on any improvement.
-                from svol_tpu.train.state import reduce_lr_on_plateau
-
-                if plateau.step(cur_metric):
-                    state = reduce_lr_on_plateau(state, plateau.factor)
-                    logger.info("plateau: learning rate reduced x0.1")
-
-            if cur_metric > best_metric:
-                early_stop_count = 0
-                best_metric = cur_metric
-                if config.train.fast_val:
-                    # full host suite (AP + JSONL artifacts) only on new bests
-                    metrics_out, _, _ = inference(
-                        config, ema_eval_view(state), eval_step,
-                        val_loader_factory(),
-                        f"{cur_time()}_{config.run_tag('val')}.jsonl",
-                        logger=logger, plan=eval_plan,
-                    )
-                    logger.info(
-                        f"\n>>>>> New best (full metrics)\n"
-                        f"{pprint.pformat(metrics_out['brief'], indent=4)}\n"
-                    )
-                if process_index == 0:
-                    save_checkpoint(
-                        config.train.checkpoint,
-                        best_checkpoint_name(config),
-                        state, config,
-                        wait=not config.train.async_checkpoint,
-                        loader_state=loader_sidecar(iter_i + 1),
-                    )
-            else:
-                early_stop_count += 1
-                if (
-                    config.train.early_stop_patience > 0
-                    and early_stop_count > config.train.early_stop_patience
-                ):
-                    logger.info(
-                        f"\n>>>>> Early Stop at Iter {iter_i + 1} "
-                        f"(best miou: {best_metric})\n"
-                    )
-                    break
-            if config.train.debug:
-                break
-
-        if guard.requested:
-            # SIGTERM arrived: the in-flight step finished (the state above
-            # is a clean boundary at iter_i+1) — persist it WITH the data-
-            # stream sidecar so --resume_all continues the exact run, then
-            # exit fast (the grace period is for saving, not for finishing
-            # the final validation).
-            drain_metrics()
-            wait_for_checkpoints()  # serialize with in-flight async saves
-            if process_index == 0:
-                path = save_checkpoint(
-                    config.train.checkpoint,
-                    preempt_checkpoint_name(config, iter_i + 1),
-                    state, config, wait=True,
-                    loader_state=loader_sidecar(iter_i + 1),
+                loss_str = "\n".join(
+                    f"\t> {k} {v.avg:.4f}" for k, v in loss_meters.items()
                 )
                 logger.info(
-                    f"preemption: SIGTERM at iter {iter_i + 1}; checkpoint "
-                    f"saved to {path}; exiting {EXIT_PREEMPTED} for "
-                    f"relaunch-and-resume"
+                    f"Training Logs\n[Iter] {iter_i:06d}\n"
+                    f"[Time]\n{time_stats}\n[Loss]\n{loss_str}\n"
                 )
-            preempted = True
-            break
-    guard.uninstall()
+                if writer:
+                    writer.log(iter_i, "train",
+                               {k: v.avg for k, v in loss_meters.items()})
 
-    # drain any in-flight --async_checkpoint writes before the process can
-    # exit (background threads hold the uncommitted checkpoint directory)
-    wait_for_checkpoints()
+            if (
+                config.train.save_interval > 0
+                and (iter_i + 1) % config.train.save_interval == 0
+                and process_index == 0
+            ):
+                save_checkpoint(
+                    config.train.checkpoint,
+                    periodic_checkpoint_name(config, iter_i),
+                    state, config,
+                    wait=not config.train.async_checkpoint,
+                    loader_state=loader_sidecar(iter_i + 1),
+                )
+
+            # guard.requested is checked BEFORE the validation block: a SIGTERM
+            # that lands on a validation-boundary group must go straight to the
+            # preempt save — running a full validation (plus full-host inference
+            # on a new best) inside an eviction grace period risks a SIGKILL
+            # before the checkpoint lands (ADVICE r4 medium).
+            if not guard.requested and (
+                (iter_i + 1) % config.train.val_interval == 0 or config.train.debug
+            ):
+                drain_metrics()
+                if config.train.fast_val:
+                    # on-device mIoU@R1 / R1@thd (evaluate/device.py): identical
+                    # selection semantics to the host path at k=1, no JSONL
+                    # assembly / AP worker pool per val_interval. The full host
+                    # suite runs below only when this finds a new best (and the
+                    # CLI caller runs it once at the end of training).
+                    brief = fast_validation(
+                        ema_eval_view(state), eval_step, val_loader_factory(),
+                        config.model.num_queries_per_frame, plan=eval_plan,
+                    )
+                else:
+                    results_filename = f"{cur_time()}_{config.run_tag('val')}.jsonl"
+                    metrics_out, eval_loss_meters, _ = inference(
+                        config, ema_eval_view(state), eval_step,
+                        val_loader_factory(),
+                        results_filename, logger=logger, plan=eval_plan,
+                    )
+                    brief = metrics_out["brief"]
+                cur_metric = brief["SVOL-full-mIoU@R1"]
+                if writer:
+                    writer.log(iter_i + 1, "val",
+                               {k: float(v) for k, v in brief.items()})
+                logger.info(
+                    f"\n>>>>> Evaluation\n[Iter] {iter_i + 1:03d}\n"
+                    f"[Metrics]\n{pprint.pformat(brief, indent=4)}\n"
+                )
+                if config.train.scheduler == "reducelronplateau":
+                    # torch ReduceLROnPlateau(mode=max, factor=.1, patience=1,
+                    # threshold=.5, rel) semantics — train.py:134-143. The
+                    # tracker keeps its OWN best (updated only on a >1.5x
+                    # improvement), distinct from the early-stop/checkpoint
+                    # best_metric below, which ratchets on any improvement.
+                    from svol_tpu.train.state import reduce_lr_on_plateau
+
+                    if plateau.step(cur_metric):
+                        state = reduce_lr_on_plateau(state, plateau.factor)
+                        logger.info("plateau: learning rate reduced x0.1")
+
+                if cur_metric > best_metric:
+                    early_stop_count = 0
+                    best_metric = cur_metric
+                    if config.train.fast_val:
+                        # full host suite (AP + JSONL artifacts) only on new bests
+                        metrics_out, _, _ = inference(
+                            config, ema_eval_view(state), eval_step,
+                            val_loader_factory(),
+                            f"{cur_time()}_{config.run_tag('val')}.jsonl",
+                            logger=logger, plan=eval_plan,
+                        )
+                        logger.info(
+                            f"\n>>>>> New best (full metrics)\n"
+                            f"{pprint.pformat(metrics_out['brief'], indent=4)}\n"
+                        )
+                    if process_index == 0:
+                        save_checkpoint(
+                            config.train.checkpoint,
+                            best_checkpoint_name(config),
+                            state, config,
+                            wait=not config.train.async_checkpoint,
+                            loader_state=loader_sidecar(iter_i + 1),
+                        )
+                else:
+                    early_stop_count += 1
+                    if (
+                        config.train.early_stop_patience > 0
+                        and early_stop_count > config.train.early_stop_patience
+                    ):
+                        logger.info(
+                            f"\n>>>>> Early Stop at Iter {iter_i + 1} "
+                            f"(best miou: {best_metric})\n"
+                        )
+                        break
+                if config.train.debug:
+                    break
+
+            if guard.requested:
+                # SIGTERM arrived: the in-flight step finished (the state above
+                # is a clean boundary at iter_i+1) — persist it WITH the data-
+                # stream sidecar so --resume_all continues the exact run, then
+                # exit fast (the grace period is for saving, not for finishing
+                # the final validation).
+                drain_metrics()
+                wait_for_checkpoints()  # serialize with in-flight async saves
+                if process_index == 0:
+                    path = save_checkpoint(
+                        config.train.checkpoint,
+                        preempt_checkpoint_name(config, iter_i + 1),
+                        state, config, wait=True,
+                        loader_state=loader_sidecar(iter_i + 1),
+                    )
+                    logger.info(
+                        f"preemption: SIGTERM at iter {iter_i + 1}; checkpoint "
+                        f"saved to {path}; exiting {EXIT_PREEMPTED} for "
+                        f"relaunch-and-resume"
+                    )
+                preempted = True
+                break
+    finally:
+        # uninstall even when an exception escapes the loop — a dying
+        # process must not keep shielding itself from SIGTERM during
+        # teardown (ADVICE r4 low); then drain in-flight
+        # --async_checkpoint writes before the process can exit
+        # (background threads hold the uncommitted checkpoint dir).
+        guard.uninstall()
+        wait_for_checkpoints()
 
     if preempted:
         return True

@@ -68,7 +68,10 @@ class PreemptionGuard:
     def uninstall(self) -> None:
         for sig, prev in self._prev.items():
             try:
-                signal.signal(sig, prev)
+                # a handler installed from C makes signal.signal() return
+                # None — not a valid disposition to re-install; fall back to
+                # the default action rather than raising TypeError here
+                signal.signal(sig, prev if prev is not None else signal.SIG_DFL)
             except ValueError:
                 pass
         self._prev.clear()
@@ -77,8 +80,12 @@ class PreemptionGuard:
     def _handler(self, signum, frame) -> None:
         if self._event.is_set():
             # second signal: stop shielding — restore the previous
-            # disposition and let the default action proceed
+            # disposition and let the default action proceed. A None prev
+            # (C-installed handler, unrepresentable in Python) degrades to
+            # SIG_DFL: escalation must terminate, never raise.
             prev = self._prev.get(signum, signal.SIG_DFL)
+            if prev is None:
+                prev = signal.SIG_DFL
             signal.signal(signum, prev)
             signal.raise_signal(signum)
             return

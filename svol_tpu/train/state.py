@@ -154,13 +154,27 @@ def current_lr(state: TrainState) -> float:
     return float(state.opt_state.hyperparams["learning_rate"])
 
 
-def init_sample_batch(config: SvolConfig, batch_size: int = 1):
+def init_sample_batch(config: SvolConfig, batch_size: int = 0,
+                      data_axis_size: int = 1):
     """Shape-only batch for ``model.init`` — flax init is shape-driven, so
     zero pixels + all-valid masks produce the same param tree as a real
     batch, without pulling (and thereby advancing) the training stream.
-    batch_size=1 also keeps init cheap (CLAUDE.md: full-batch init took
-    ~500 s through the TPU tunnel)."""
+    The default batch size is the smallest the model will trace: 1, except
+    under pipeline parallelism where the GPipe branch runs
+    ``microbatch_split`` AND ``shard_pipeline_stages`` during init too, so
+    the batch must be M × data_axis_size with M the effective
+    ``pp_microbatches`` (0 resolves to ``num_layers``, the same rule as
+    models/cross_modal_transformer.py) — each microbatch's rows shard over
+    the 'data' mesh axis. Keeping init tiny matters: full-batch init took
+    ~500 s through the TPU tunnel (CLAUDE.md)."""
     import numpy as np
+
+    if batch_size <= 0:
+        batch_size = 1
+        if config.train.pp_devices > 1:
+            mb = (config.train.pp_microbatches
+                  or config.model.num_layers)
+            batch_size = mb * max(data_axis_size, 1)
 
     d = config.data
     s = d.image_size
