@@ -126,6 +126,17 @@ class SetCriterion:
                 for k in ("loss_bbox", "loss_giou", "loss_label"):
                     self.weight_dict[f"{k}_{i}"] = self.weight_dict[k]
 
+    def weighted_log_view(self, losses: Dict[str, Array]) -> Dict[str, Array]:
+        """The reference's LOGGING convention (test.py:131, train.py:243):
+        every component meter records ``value * weight_dict[key]``; keys
+        without a weight (class_error, cardinality_error, loss_overall,
+        loss_moe_aux, grad_norm) record as-is. The criterion itself keeps
+        returning UNWEIGHTED components (``loss_overall`` applies the
+        weights once) — this view exists so our meters/metrics.jsonl read
+        value-for-value like the reference's logs."""
+        return {k: (v * self.weight_dict[k] if k in self.weight_dict else v)
+                for k, v in losses.items()}
+
     def _match(self, logits: Array, boxes: Array, tgt_boxes: Array,
                tgt_valid: Array, queries_per_frame: int = 0) -> MatchResult:
         kwargs = dict(

@@ -166,7 +166,8 @@ def make_accum_train_step(
             new_state = new_state.replace(batch_stats=batch_stats)
         new_state = _update_ema(new_state, ema_d)
         new_state = constrain_zero_state(new_state)  # ZeRO-1 layout pin
-        metrics = {k: v.mean() for k, v in losses_stacked.items()}
+        metrics = criterion.weighted_log_view(
+            {k: v.mean() for k, v in losses_stacked.items()})
         metrics["grad_norm"] = optax_global_norm(grads)
         return new_state, metrics
 
@@ -249,7 +250,7 @@ def _train_step_body(criterion: SetCriterion, state: TrainState,
     # No-op unless the active plan requests zero_opt (parallel/mesh.py).
     new_state = constrain_zero_state(new_state)
 
-    metrics = {k: v for k, v in losses.items()}
+    metrics = criterion.weighted_log_view(losses)
     metrics["grad_norm"] = optax_global_norm(grads)
     return new_state, metrics
 
@@ -318,10 +319,10 @@ def make_eval_step(config: SvolConfig, criterion: SetCriterion,
             src_video_mask=batch["src_video_mask"],
             train=False,
         )
-        losses = per_example_criterion(
+        losses = criterion.weighted_log_view(per_example_criterion(
             criterion, outputs,
             {"boxes": batch["boxes"], "box_valid": batch["box_valid"]},
-        )
+        ))
         prob = jax.nn.softmax(outputs["pred_logits"].astype(jnp.float32), axis=-1)
         scores = prob[..., 0]  # foreground index 0 (test.py:134)
         boxes = jnp.clip(

@@ -46,7 +46,8 @@ import pytest
 
 _TORCH_MODULES = ("test_torch_parity", "test_torch_port",
                   "test_full_model_parity", "test_reference_port",
-                  "test_e2e_jsonl_parity", "test_optimizer_parity")
+                  "test_e2e_jsonl_parity", "test_optimizer_parity",
+                  "test_parity_report")
 
 
 def pytest_collection_modifyitems(session, config, items):

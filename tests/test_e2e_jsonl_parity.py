@@ -17,17 +17,13 @@ agree.
 Module import order matters: this file is in conftest._TORCH_MODULES so it
 runs after all sharded-mesh tests (torch wedges the XLA:CPU pool otherwise).
 """
-import importlib.machinery
-import importlib.util
 import json
 import sys
-import types
 
 import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
-nn = torch.nn
 
 import jax
 
@@ -49,82 +45,13 @@ _REF_ARGV = [
 ]
 
 
-def _shim_module(name: str) -> types.ModuleType:
-    """A fake module with a REAL ModuleSpec: transformers probes
-    importlib.util.find_spec('apex'), which raises on spec-less modules."""
-    m = types.ModuleType(name)
-    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
-    return m
-
-
-def _install_shims():
-    """apex + torchvision stand-ins so /root/reference/test.py imports on
-    this image (apex raises ImportError at test.py:22 otherwise; torchvision
-    provides transforms for svol_dataset, box_area for box_utils, and the
-    resnet constructor NAMES for backbone.py:6 — never called: the test
-    builds its own torchvision-structure resnets)."""
-    created = []
-    if "apex" not in sys.modules:
-        apex = _shim_module("apex")
-        apex_parallel = _shim_module("apex.parallel")
-        apex_parallel.DistributedDataParallel = object
-        apex_amp = _shim_module("apex.amp")
-        apex.parallel = apex_parallel
-        apex.amp = apex_amp
-        for n, m in (("apex", apex), ("apex.parallel", apex_parallel),
-                     ("apex.amp", apex_amp)):
-            sys.modules[n] = m
-            created.append(n)
-    if "torchvision" not in sys.modules:
-        def _box_area(boxes):
-            return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
-
-        def _unavailable(*a, **k):  # pragma: no cover
-            raise RuntimeError("torchvision is not installed in this image")
-
-        tv = _shim_module("torchvision")
-        tv_tf = _shim_module("torchvision.transforms")
-        tv_models = _shim_module("torchvision.models")
-        for nm in ("resnet18", "resnet34", "resnet50"):
-            setattr(tv_models, nm, _unavailable)
-        for nm in ("ResNet18_Weights", "ResNet34_Weights", "ResNet50_Weights"):
-            setattr(tv_models, nm, types.SimpleNamespace(IMAGENET1K_V1=None,
-                                                         IMAGENET1K_V2=None))
-        tv_ops = _shim_module("torchvision.ops")
-        tv_boxes = _shim_module("torchvision.ops.boxes")
-        tv_boxes.box_area = _box_area
-        tv_ops.boxes = tv_boxes
-        tv.transforms = tv_tf
-        tv.models = tv_models
-        tv.ops = tv_ops
-        for n, m in (("torchvision", tv), ("torchvision.transforms", tv_tf),
-                     ("torchvision.models", tv_models),
-                     ("torchvision.ops", tv_ops),
-                     ("torchvision.ops.boxes", tv_boxes)):
-            sys.modules[n] = m
-            created.append(n)
-    return created
-
-
 def _load_ref_test():
-    """Import /root/reference/test.py under a non-clashing module name with
-    our tiny flag set as its argv (lib/configs.py:179 parses at import)."""
-    created = _install_shims()
-    argv_save = sys.argv
-    sys.argv = list(_REF_ARGV)
-    try:
-        spec = importlib.util.spec_from_file_location("svol_ref_test",
-                                                      f"{REF}/test.py")
-        mod = importlib.util.module_from_spec(spec)
-        sys.modules["svol_ref_test"] = mod
-        spec.loader.exec_module(mod)
-        return mod
-    finally:
-        sys.argv = argv_save
-        # the shims must not linger: a spec-less fake torchvision breaks
-        # transformers' find_spec probe in unrelated tests
-        for n in created:
-            sys.modules.pop(n, None)
+    """Import /root/reference/test.py with our tiny flag set (shims + argv
+    staging live in svol_tpu.utils.ref_harness — shared with the
+    parity-report CLI)."""
+    from svol_tpu.utils.ref_harness import load_reference_test
+
+    return load_reference_test(_REF_ARGV[1:], ref_path=REF)
 
 
 try:
@@ -137,92 +64,20 @@ except Exception as e:  # pragma: no cover
 pytestmark = pytest.mark.skipif(not HAS_REF, reason="reference test.py not importable")
 
 
-# ---------------------------------------------------------------------------
-# torchvision-structure BasicBlock resnets (torchvision is not installed;
-# state-dict keys must match torchvision's so the reference Sequential
-# wrapping backbone.py:137-141 and our torch_port converters both apply)
-# ---------------------------------------------------------------------------
-
-
-class BasicBlock(nn.Module):
-    def __init__(self, cin, cout, stride=1):
-        super().__init__()
-        self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
-        self.bn1 = nn.BatchNorm2d(cout)
-        self.relu = nn.ReLU(inplace=True)
-        self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
-        self.bn2 = nn.BatchNorm2d(cout)
-        self.downsample = None
-        if stride != 1 or cin != cout:
-            self.downsample = nn.Sequential(
-                nn.Conv2d(cin, cout, 1, stride, bias=False),
-                nn.BatchNorm2d(cout),
-            )
-
-    def forward(self, x):
-        identity = x
-        out = self.relu(self.bn1(self.conv1(x)))
-        out = self.bn2(self.conv2(out))
-        if self.downsample is not None:
-            identity = self.downsample(x)
-        return self.relu(out + identity)
-
-
-def _resnet_children(stage_sizes):
-    """conv1,bn1,relu,maxpool,layer1..4 — torchvision child order, so
-    nn.Sequential(*children) indexes match _SEQ_TO_TORCHVISION."""
-    mods = [
-        nn.Conv2d(3, 64, 7, 2, 3, bias=False),
-        nn.BatchNorm2d(64),
-        nn.ReLU(inplace=True),
-        nn.MaxPool2d(3, 2, 1),
-    ]
-    cin = 64
-    for blocks, cout, stride in zip(stage_sizes, (64, 128, 256, 512),
-                                    (1, 2, 2, 2)):
-        layer = []
-        for b in range(blocks):
-            layer.append(BasicBlock(cin if b == 0 else cout, cout,
-                                    stride if b == 0 else 1))
-        mods.append(nn.Sequential(*layer))
-        cin = cout
-    return mods
-
-
-def _randomize_bn_stats(module, rng):
-    """Non-trivial running stats: identity stats would hide mean/var-porting
-    bugs (convert_resnet* must carry them verbatim)."""
-    for m in module.modules():
-        if isinstance(m, nn.BatchNorm2d):
-            c = m.num_features
-            m.running_mean.copy_(torch.from_numpy(
-                rng.normal(scale=0.1, size=(c,)).astype(np.float32)))
-            m.running_var.copy_(torch.from_numpy(
-                rng.uniform(0.7, 1.3, size=(c,)).astype(np.float32)))
-            m.weight.data.copy_(torch.from_numpy(
-                rng.uniform(0.8, 1.2, size=(c,)).astype(np.float32)))
-            m.bias.data.copy_(torch.from_numpy(
-                rng.normal(scale=0.05, size=(c,)).astype(np.float32)))
-
-
 @pytest.fixture(scope="module")
 def paired_models():
     """(reference torch full model, criterion, our state, our cfg)."""
-
-    torch.manual_seed(0)
-    rng = np.random.default_rng(0)
 
     from lib.modeling.backbone import ResNetBackbone
     from lib.modeling.loss import build_loss as ref_build_loss
     from lib.modeling.model import SketchLocalizationModel as RefModel
     from lib.modeling.svanet import build_svanet as ref_build_svanet
 
-    video_bb = nn.Sequential(*_resnet_children((3, 4, 6, 3)))  # resnet34[:-2]
-    sketch_bb = nn.Sequential(*_resnet_children((2, 2, 2, 2)),
-                              nn.AdaptiveAvgPool2d(1))  # resnet18[:-1]
-    with torch.no_grad():
-        _randomize_bn_stats(video_bb, rng)
-        _randomize_bn_stats(sketch_bb, rng)
+    from svol_tpu.utils.ref_harness import build_reference_backbones
+
+    # torchvision-structure resnets with seeded weights + randomized BN
+    # stats (identity stats would hide mean/var-porting bugs)
+    video_bb, sketch_bb = build_reference_backbones(seed=0)
 
     args = ref_test.args  # the module-level parsed tiny argv
     args.input_vid_dim = 512
@@ -419,3 +274,135 @@ def test_metric_dicts_match_reference_end_to_end(paired_models):
         np.testing.assert_allclose(
             float(our_metrics["brief"][k]), float(ref_metrics["brief"][k]),
             atol=2e-2, err_msg=k)  # metrics are 2-decimal percentages
+
+
+def test_loss_meters_match_video_matcher(paired_models):
+    """VERDICT r4 Next #5: the VIDEO matcher (one LSAP per video,
+    matcher.py:122-159) through both sides' full inference paths. Rows are
+    matcher-independent; the matched-pair-dependent loss meters are the
+    parity surface, compared per component in the reference's weighted
+    logging convention (test.py:131)."""
+    import dataclasses
+
+    tmodel, _, state, cfg, _ = paired_models
+    (t_inputs, ref_targets), (ours_batch, ours_extra) = make_batch(seed=3)
+
+    from lib.modeling.loss import build_loss as ref_build_loss
+
+    args = ref_test.args
+    old = args.matcher
+    args.matcher = "video_matcher"
+    try:
+        criterion_ref = ref_build_loss(args)
+    finally:
+        args.matcher = old
+    criterion_ref.eval()
+
+    with torch.no_grad():
+        _, ref_meters = ref_test.get_results(
+            tmodel, [(t_inputs, ref_targets)], criterion_ref, "cpu")
+
+    from svol_tpu.cli.infer import get_results as our_get_results
+    from svol_tpu.losses.criterion import build_criterion
+    from svol_tpu.train.steps import make_eval_step
+
+    cfg_vm = dataclasses.replace(
+        cfg, loss=dataclasses.replace(cfg.loss, matcher="video_matcher"))
+    eval_step = make_eval_step(cfg_vm, build_criterion(cfg_vm))
+    _, our_meters = our_get_results(
+        state, eval_step, [(ours_batch, ours_extra)], num_frames=T)
+
+    for k in ("loss_label", "loss_bbox", "loss_giou",
+              "loss_label_0", "loss_bbox_0", "loss_giou_0", "loss_overall"):
+        assert k in ref_meters and k in our_meters, k
+        np.testing.assert_allclose(
+            our_meters[k].avg, ref_meters[k].avg, atol=2e-3, err_msg=k)
+
+
+def test_jsonl_rows_match_eval_bs4_with_padded_tail(paired_models):
+    """VERDICT r4 Next #5: eval_bs > 1 with a padded tail. Our executable
+    keeps a fixed batch shape by replicating the last real example
+    (cli/infer pad-drop contract); the reference sees only the real
+    examples — the emitted rows must agree row-for-row and the pad row must
+    leave no trace."""
+    tmodel, criterion_ref, state, cfg, criterion = paired_models
+
+    from svol_tpu.utils.parity_report import make_parity_batch
+
+    (t_inputs, ref_targets), (ours_batch, ours_extra) = make_parity_batch(
+        3, T, K, IMG, seed=11)
+    # pad OUR side to B=4 by replicating the last example; n_real=3
+    ours_batch = {k: np.concatenate([v, v[-1:]], axis=0)
+                  for k, v in ours_batch.items()}
+    ours_extra["targets"] = {k: np.concatenate([v, v[-1:]], axis=0)
+                             for k, v in ours_extra["targets"].items()}
+    ours_extra["n_real"] = 3  # meta stays length 3
+
+    # The reference's eval protocol is eval_bs=1 (test.sh:13) and its
+    # criterion normalizes over the BATCH (label CE over B*Q, box losses by
+    # batch-wide matched count) — so the per-example ground truth is three
+    # B=1 batches (per_example_criterion docstring). But the reference's
+    # ResNetBackbone CRASHES at N=1: `.squeeze()` collapses the batch dim
+    # (backbone.py:77), making its own shipped test.sh recipe un-runnable —
+    # a previously undocumented upstream defect. The harness sidesteps it
+    # bit-exactly by duplicating the example to N=2 and slicing the
+    # features back (every module is per-example independent in eval mode).
+    class _B1SafeBackbone(torch.nn.Module):
+        def __init__(self, inner):
+            super().__init__()
+            self.inner = inner
+
+        def forward(self, sketch_batch, video_batch):
+            if sketch_batch.shape[0] == 1:
+                s, v = self.inner(sketch_batch.repeat(2, 1, 1, 1, 1),
+                                  video_batch.repeat(2, 1, 1, 1, 1))
+                return s[:1], v[:1]
+            return self.inner(sketch_batch, video_batch)
+
+    from lib.modeling.model import SketchLocalizationModel as RefModel
+
+    tmodel_b1 = RefModel(_B1SafeBackbone(tmodel.backbone), tmodel.head)
+    tmodel_b1.eval()
+    ref_batches = []
+    for b in range(3):
+        one_inputs = {
+            k: (t[b:b + 1], m[b:b + 1]) for k, (t, m) in t_inputs.items()
+        }
+        ref_batches.append((one_inputs, [ref_targets[b]]))
+    with torch.no_grad():
+        ref_rows, ref_meters = ref_test.get_results(
+            tmodel_b1, ref_batches, criterion_ref, "cpu")
+
+    from svol_tpu.cli.infer import get_results as our_get_results
+    from svol_tpu.train.steps import make_eval_step
+
+    eval_step = make_eval_step(cfg, criterion)
+    our_rows, our_meters = our_get_results(
+        state, eval_step, [(ours_batch, ours_extra)], num_frames=T)
+
+    ref_rows, our_rows = _norm(ref_rows), _norm(our_rows)
+    assert len(ref_rows) == len(our_rows) == 3 * T  # pad row emitted nothing
+    for i, (r, o) in enumerate(zip(ref_rows, our_rows)):
+        assert r["video"] == o["video"] and r["frame"] == o["frame"], i
+        np.testing.assert_allclose(
+            np.array(r["pred_boxes"]), np.array(o["pred_boxes"]),
+            atol=1.01e-4, err_msg=f"row {i}")
+    # loss meters weighted per the reference convention; pad row dropped
+    assert abs(ref_meters["loss_overall"].avg
+               - our_meters["loss_overall"].avg) < 1e-3
+
+
+def test_reference_resnet_backbone_crashes_at_eval_bs1(paired_models):
+    """Documents the upstream defect the padded-tail test works around: the
+    reference's shipped eval recipe (test.sh:13, eval_bs=1) cannot run —
+    ResNetBackbone's `.squeeze()` (backbone.py:77) collapses the N=1 batch
+    dim, so the sketch features reach the head as (512, 1) and its first
+    LayerNorm(512) raises. Our loader/eval path handles any eval_bs
+    (pad-drop contract)."""
+    tmodel, criterion_ref, *_ = paired_models
+    (t_inputs, ref_targets), _ = make_batch(seed=5)
+    one = {k: (t[:1], m[:1]) for k, (t, m) in t_inputs.items()}
+    with pytest.raises(RuntimeError, match="normalized_shape"):
+        with torch.no_grad():
+            ref_test.get_results(tmodel, [(one, ref_targets[:1])],
+                                 criterion_ref, "cpu")
