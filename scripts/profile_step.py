@@ -13,7 +13,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(bs: int, trace_dir: str) -> None:
+def capture(bs: int, trace_dir: str, backbone: str = "resnet",
+            flash: bool = True) -> None:
     from __graft_entry__ import (
         _enable_compile_cache,
         _flagship_config,
@@ -29,6 +30,8 @@ def capture(bs: int, trace_dir: str) -> None:
     from svol_tpu.train.steps import make_predict_fn
 
     cfg = _flagship_config()
+    cfg.model.backbone = backbone
+    cfg.model.use_flash_attention = flash
     model = build_model(cfg)
     device = jax.devices()[0]
     variables = jax.device_put(init_variables(model, cfg), device)
@@ -93,6 +96,8 @@ def _print_top(op_stats_json: str, top: int = 40) -> None:
 if __name__ == "__main__":
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     trace_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/svol_profile"
+    backbone = sys.argv[3] if len(sys.argv) > 3 else "resnet"
+    flash = (sys.argv[4] != "0") if len(sys.argv) > 4 else True
     os.makedirs(trace_dir, exist_ok=True)
-    capture(bs, trace_dir)
+    capture(bs, trace_dir, backbone=backbone, flash=flash)
     report(trace_dir)
