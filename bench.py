@@ -121,6 +121,14 @@ def _measure(args) -> dict:
     from svol_tpu.train.steps import make_predict_fn
 
     cfg = _flagship_config(tiny=args.tiny)
+    cfg.model.backbone = args.backbone
+    if "vit" in args.backbone:
+        # int8 covers the ResNet conv trunk only (ops/quant.py); the ViT
+        # path benches bf16 (±flash attention via --no-flash)
+        args.quantize = None
+        args.calibrated = False
+        args.quantize_attention = False
+    cfg.model.use_flash_attention = args.flash
     cfg.model.quantize = args.quantize
     cfg.model.quantize_attention = args.quantize_attention
     batch_size = args.batch_size
@@ -174,6 +182,14 @@ def main(argv=None) -> None:
                          "the timed loop (end-to-end companion number)")
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--backbone", default="resnet", choices=["resnet", "vit"],
+                    help="vit = the reference's ViT-B/16 CLS-token path "
+                         "(backbone.py:11-62), benched at bf16 "
+                         "(int8 covers the conv trunk only)")
+    ap.add_argument("--flash", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="fused VMEM-softmax attention (head blocks always; "
+                         "ViT encoder layers when --backbone vit)")
     ap.add_argument("--quantize", default="int8", choices=["int8", "none"],
                     help="int8 = the serving path (ops/quant.py); none = the "
                          "exact bf16 path. Default int8 (accuracy measured at "

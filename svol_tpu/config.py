@@ -99,12 +99,15 @@ class ModelConfig:
     # with quantize='int8': also run the flash self-attention QK/PV matmuls
     # on the int8 units (head_dim 32 quarters the bf16 MXU; int8 halves that
     # penalty — ops/pallas/flash_attention.py int8 variant).
-    # TP interaction (ADVICE r3): the fused flash kernels are custom calls
-    # XLA cannot partition, so with tp_devices>1 EVERY attention module
-    # falls back to the head-parallel einsum path — use_flash_attention and
-    # quantize_attention then have no effect (calibration still records
-    # attention amax values; they are simply unused). Serving with int8
-    # attention is a single-chip/DP configuration.
+    # TP interaction: the fused flash kernels are custom calls XLA cannot
+    # partition on its own, but under tp_devices>1 the exact kernel runs
+    # PER-SHARD via shard_map over the 'model' axis (parallel/mesh.py::
+    # shard_map_attention_heads — each device's local heads are a complete
+    # attention problem), so use_flash_attention keeps working under TP.
+    # The genuine einsum fallback is tp>1 combined with sp>1 (sequence
+    # parallelism shards the L rows the kernel must see whole).
+    # quantize_attention stays a single-chip/DP serving configuration; its
+    # calibrated attention amax values are unused under TP.
     quantize_attention: bool = False
     # Mixture-of-Experts FFN (models/moe.py): replace the cross-modal
     # transformer's dense MLPs with Switch-style top-1 routed expert MLPs.

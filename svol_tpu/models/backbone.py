@@ -74,6 +74,9 @@ class ViTBackbone(nn.Module):
     norm_vid_feats: bool = True
     use_vid_cls_token: bool = True
     dtype: Optional[jnp.dtype] = None
+    # fused flash attention in the ViT encoder layers (models/vit.py) —
+    # driven by config.model.use_flash_attention like the head's attention
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -83,8 +86,10 @@ class ViTBackbone(nn.Module):
         train: bool = False,
     ) -> Tuple[Array, Array]:
         vit_s = vit_base_patch16(dtype=self.dtype, remat=self.remat,
+                                 use_flash=self.use_flash,
                                  name="sketch_backbone")
         vit_v = vit_base_patch16(dtype=self.dtype, remat=self.remat,
+                                 use_flash=self.use_flash,
                                  name="video_backbone")
 
         scale = lambda x: (x - 0.5) / 0.5  # ViTFeatureExtractor normalize
@@ -127,11 +132,13 @@ def tokens_per_frame(backbone: str, image_size: int = 224) -> int:
 
 
 def build_backbone(backbone: str, dtype=None, resnet_stem: str = "conv7",
-                   quantize=None, remat: bool = False) -> nn.Module:
+                   quantize=None, remat: bool = False,
+                   use_flash: bool = False) -> nn.Module:
     if "vit" in backbone:
         if quantize:
             raise NotImplementedError("--quantize supports ResNet backbones only")
-        return ViTBackbone(dtype=dtype, remat=remat, name="backbone")
+        return ViTBackbone(dtype=dtype, remat=remat, use_flash=use_flash,
+                           name="backbone")
     if "resnet" in backbone:
         return ResNetBackbone(dtype=dtype, stem=resnet_stem, quantize=quantize,
                               remat=remat, name="backbone")

@@ -75,24 +75,31 @@ class MultiheadAttention(nn.Module):
         v = v.reshape(B, Lk, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
         # tensor parallelism (parallel/mesh.py): heads shard over the active
-        # plan's 'model' axis (no-op otherwise). The Pallas flash kernel is a
-        # custom call XLA cannot partition, so under TP the attention stays
-        # on the einsum formulation below, which GSPMD splits head-parallel.
+        # plan's 'model' axis (no-op otherwise). The Pallas flash kernel is
+        # a custom call XLA cannot partition on its own; under TP it runs
+        # per-shard through shard_map_attention_heads (each device's local
+        # (B/dp, H/tp, L, d) block is a complete attention problem), so the
+        # fused path survives tp>1. The only genuine fallback is tp>1
+        # combined with sp>1, where sequence parallelism shards the L rows
+        # the kernel must see whole.
         from svol_tpu.parallel.mesh import (
             active_model_axis_size,
+            active_seq_axis_size,
             shard_attention_heads,
+            shard_map_attention_heads,
         )
 
         q = shard_attention_heads(q)
         k = shard_attention_heads(k)
         v = shard_attention_heads(v)
 
+        tp = active_model_axis_size()
         if (
             self.use_flash
             and not need_weights
             and key_padding_mask is None
             and (self.dropout == 0.0 or deterministic)
-            and active_model_axis_size() == 1
+            and (tp == 1 or active_seq_axis_size() == 1)
         ):
             # fused path: (Lq, Lk) logits stay in VMEM with an exact f32
             # softmax — never written to HBM (ops/pallas/flash_attention.py).
@@ -102,6 +109,18 @@ class MultiheadAttention(nn.Module):
                 flash_self_attention,
                 flash_self_attention_int8,
             )
+
+            if tp > 1:
+                # head-parallel fused kernel: shard_map hands each device
+                # its local heads (the int8/calibration variants stay
+                # single-chip — serving is a tp=1 configuration, config.py)
+                scale = head_dim**-0.5
+                out = shard_map_attention_heads(
+                    lambda q_, k_, v_: flash_self_attention(q_, k_, v_, scale),
+                    q, k, v,
+                )
+                out = out.transpose(0, 2, 1, 3).reshape(B, Lq, self.d_model)
+                return dense("out_proj")(out), None
 
             # int8 attention is a serving-path optimization (config.py
             # documents quantization as inference-only): training forwards

@@ -32,6 +32,7 @@ class SketchLocalizationModel(nn.Module):
             cfg.model.backbone, dtype=dtype, resnet_stem=cfg.model.resnet_stem,
             quantize=cfg.model.quantize,
             remat=cfg.model.remat in ("backbone", "full"),
+            use_flash=cfg.model.use_flash_attention,
         )
         vid_dim, skch_dim = backbone_feature_dims(cfg.model.backbone)
         self.tokens_per_frame = tokens_per_frame(cfg.model.backbone, cfg.data.image_size)

@@ -25,6 +25,12 @@ class ViTEncoderLayer(nn.Module):
     num_heads: int = 12
     mlp_dim: int = 3072
     dtype: Optional[jnp.dtype] = None
+    # fused VMEM-softmax attention (ops/pallas/flash_attention.py): ViT
+    # attention is unmasked, so the kernel applies directly; at L=197 /
+    # head_dim=64 the f32 logits tile is 0.16 MB — one grid step per
+    # batch-head. Exact f32 softmax (MORE precise than the bf16-softmax
+    # einsum path below); equivalence in tests/test_sketch_vit.py.
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -38,12 +44,17 @@ class ViTEncoderLayer(nn.Module):
         q = q.reshape(B, L, self.num_heads, head_dim).transpose(0, 2, 1, 3)
         k = k.reshape(B, L, self.num_heads, head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(B, L, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q * head_dim**-0.5, k,
-                            preferred_element_type=jnp.float32)
-        w = nn.softmax(logits.astype(jnp.float32), axis=-1)
-        if self.dtype is not None:
-            w = w.astype(self.dtype)
-        attn = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+        if self.use_flash:
+            from svol_tpu.ops.pallas.flash_attention import flash_self_attention
+
+            attn = flash_self_attention(q, k, v, head_dim**-0.5)
+        else:
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q * head_dim**-0.5, k,
+                                preferred_element_type=jnp.float32)
+            w = nn.softmax(logits.astype(jnp.float32), axis=-1)
+            if self.dtype is not None:
+                w = w.astype(self.dtype)
+            attn = jnp.einsum("bhqk,bhkd->bhqd", w, v)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, L, self.hidden_size)
         attn = nn.Dense(self.hidden_size, dtype=self.dtype, name="attn_out")(attn)
         x = x + attn
@@ -72,6 +83,8 @@ class ViT(nn.Module):
     # rematerialize each encoder layer in the backward pass (nn.remat);
     # param tree unchanged (tests/test_remat.py)
     remat: bool = False
+    # fused flash attention in every encoder layer (see ViTEncoderLayer)
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, images: Array, deterministic: bool = True):
@@ -99,7 +112,8 @@ class ViT(nn.Module):
         for i in range(self.num_layers):
             layer = ViTEncoderLayer(
                 hidden_size=self.hidden_size, num_heads=self.num_heads,
-                mlp_dim=self.mlp_dim, dtype=self.dtype, name=f"layer{i}",
+                mlp_dim=self.mlp_dim, dtype=self.dtype,
+                use_flash=self.use_flash, name=f"layer{i}",
             )
             if self.remat:
                 x = nn.remat(
@@ -114,5 +128,5 @@ class ViT(nn.Module):
 
 
 def vit_base_patch16(dtype=None, name: str = "vit",
-                     remat: bool = False) -> ViT:
-    return ViT(dtype=dtype, remat=remat, name=name)
+                     remat: bool = False, use_flash: bool = False) -> ViT:
+    return ViT(dtype=dtype, remat=remat, use_flash=use_flash, name=name)

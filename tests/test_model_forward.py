@@ -138,3 +138,29 @@ def test_uint8_fold_matches_float_path(rng):
                                np.asarray(out_fl["pred_boxes"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_u8["pred_logits"]),
                                np.asarray(out_fl["pred_logits"]), atol=1e-4)
+
+
+def test_vit_flash_attention_matches_einsum():
+    """The fused flash kernel in the ViT encoder (models/vit.py use_flash)
+    must be a pure drop-in: same params, same outputs as the einsum
+    formulation (f32, interpret mode on CPU). VERDICT r4 Next #3 groundwork
+    — the ViT path's attention is where flash applies at head_dim 64."""
+    import jax
+    import numpy as np
+
+    from svol_tpu.models.vit import ViT
+
+    kw = dict(hidden_size=64, num_layers=2, num_heads=4, mlp_dim=128,
+              patch_size=16, image_size=32)
+    vit_ein = ViT(**kw)
+    vit_flash = ViT(use_flash=True, **kw)
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(3, 32, 32, 3)).astype(np.float32)
+    params = vit_ein.init(jax.random.PRNGKey(0), x)
+    h_ein, pre_ein = vit_ein.apply(params, x)
+    h_flash, pre_flash = vit_flash.apply(params, x)  # same tree, no new params
+    np.testing.assert_allclose(np.asarray(h_flash), np.asarray(h_ein),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pre_flash), np.asarray(pre_ein),
+                               atol=2e-5)

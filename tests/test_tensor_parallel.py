@@ -106,3 +106,57 @@ def test_dp_sp_tp_combined(rng):
     m_combo = run_one_step(combo, cfg, batch)
     for k in ("loss_overall", "loss_bbox", "loss_giou", "loss_label"):
         np.testing.assert_allclose(m_dp[k], m_combo[k], rtol=5e-4, atol=5e-5)
+
+
+def test_flash_kernel_runs_under_tp(rng, monkeypatch):
+    """VERDICT r4 Next #7: tp>1 must NOT force attention off the fused flash
+    kernel. The kernel is a custom call GSPMD cannot partition, so under TP
+    it runs per-shard via shard_map over the 'model' axis
+    (parallel/mesh.py::shard_map_attention_heads) — this asserts the fused
+    path is really taken on a tp=2 mesh AND that its numbers match the
+    einsum formulation."""
+    import dataclasses
+
+    import svol_tpu.ops.pallas.flash_attention as fa
+    from svol_tpu.models import build_model
+    from svol_tpu.train import create_train_state
+    from svol_tpu.train.steps import make_predict_fn
+
+    cfg = make_cfg()
+    batch = make_batch(rng)
+    inputs = {k: batch[k] for k in
+              ("src_sketch", "src_video", "src_sketch_mask", "src_video_mask")}
+
+    calls = {"n": 0}
+    orig = fa.flash_self_attention
+
+    def counting(q, k, v, scale):
+        calls["n"] += 1
+        return orig(q, k, v, scale)
+
+    monkeypatch.setattr(fa, "flash_self_attention", counting)
+
+    tp = make_mesh_plan(model_axis=2)  # 4 x 1 x 2
+
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), inputs)
+    state = tp.replicate(state)
+    predict = jax.jit(make_predict_fn(model.apply))
+    db = tp.shard_batch({k: batch[k] for k in inputs})
+    with tp.activate():
+        scores_flash, boxes_flash = predict(
+            {"params": state.params, "batch_stats": state.batch_stats}, db)
+        scores_flash, boxes_flash = map(np.asarray, (scores_flash, boxes_flash))
+    assert calls["n"] > 0, "fused flash kernel was not traced under tp=2"
+
+    # numerics: same weights through the einsum formulation (flash off)
+    cfg_ein = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, use_flash_attention=False))
+    model_ein = build_model(cfg_ein)
+    predict_ein = jax.jit(make_predict_fn(model_ein.apply))
+    with tp.activate():
+        scores_ein, boxes_ein = predict_ein(
+            {"params": state.params, "batch_stats": state.batch_stats}, db)
+        scores_ein, boxes_ein = map(np.asarray, (scores_ein, boxes_ein))
+    np.testing.assert_allclose(scores_flash, scores_ein, atol=2e-5)
+    np.testing.assert_allclose(boxes_flash, boxes_ein, atol=2e-5)
