@@ -85,11 +85,17 @@ class ViTBackbone(nn.Module):
         video: Array,  # (B, T, H, W, 3)
         train: bool = False,
     ) -> Tuple[Array, Array]:
+        # final-LN only over the CLS row when that is all the pick reads
+        # (exact — LN is per-token; saves a full HBM pass per sub-backbone)
+        s_cls_only = self.norm_sketch_feats and self.use_sketch_cls_token
+        v_cls_only = self.norm_vid_feats and self.use_vid_cls_token
         vit_s = vit_base_patch16(dtype=self.dtype, remat=self.remat,
                                  use_flash=self.use_flash,
+                                 final_ln_cls_only=s_cls_only,
                                  name="sketch_backbone")
         vit_v = vit_base_patch16(dtype=self.dtype, remat=self.remat,
                                  use_flash=self.use_flash,
+                                 final_ln_cls_only=v_cls_only,
                                  name="video_backbone")
 
         scale = lambda x: (x - 0.5) / 0.5  # ViTFeatureExtractor normalize

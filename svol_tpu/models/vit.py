@@ -20,6 +20,39 @@ from jax import Array
 LN_EPS_VIT = 1e-12  # HF ViT layer_norm_eps
 
 
+class FusedLayerNorm(nn.Module):
+    """Param-tree drop-in for ``nn.LayerNorm`` ("scale"/"bias" leaves under
+    the same module name) running the one-pass Pallas kernel
+    (ops/pallas/layer_norm.py): XLA otherwise splits the f32 statistics
+    reduction and the normalize/scale/bias apply into separate HBM passes
+    over the (tokens, D) activation — ~1.27 ms/layer in the ViT profile."""
+
+    epsilon: float = LN_EPS_VIT
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from svol_tpu.ops.pallas.layer_norm import fused_layer_norm
+
+        D = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (D,))
+        bias = self.param("bias", nn.initializers.zeros, (D,))
+        y = fused_layer_norm(x, scale, bias, self.epsilon)
+        return y.astype(self.dtype) if self.dtype is not None else y
+
+
+def _layer_norm(mod: nn.Module, name: str, x: Array, fused: bool) -> Array:
+    # fused=False ALWAYS for now: the one-pass Pallas LN measured a large
+    # NEGATIVE on the chip (ViT step 2875 -> 2129 frames/s) — the per-row
+    # mean/var are cross-LANE reductions (D=768 on the lane axis), which
+    # the VPU serializes far below the HBM rate XLA's split-pass
+    # formulation sustains. Kernel + tests kept (ops/pallas/layer_norm.py)
+    # as the documented experiment; a sublane-major variant would need an
+    # in-VMEM transpose that costs what it saves. PERFORMANCE.md round 5.
+    del fused
+    return nn.LayerNorm(epsilon=LN_EPS_VIT, dtype=mod.dtype, name=name)(x)
+
+
 class ViTEncoderLayer(nn.Module):
     hidden_size: int = 768
     num_heads: int = 12
@@ -35,31 +68,40 @@ class ViTEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         # Pre-LN transformer block (HF ViTLayer)
-        h = nn.LayerNorm(epsilon=LN_EPS_VIT, dtype=self.dtype, name="ln_before")(x)
+        h = _layer_norm(self, "ln_before", x, self.use_flash)
         head_dim = self.hidden_size // self.num_heads
         B, L, _ = h.shape
         q = nn.Dense(self.hidden_size, dtype=self.dtype, name="q")(h)
         k = nn.Dense(self.hidden_size, dtype=self.dtype, name="k")(h)
         v = nn.Dense(self.hidden_size, dtype=self.dtype, name="v")(h)
-        q = q.reshape(B, L, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-        k = k.reshape(B, L, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-        v = v.reshape(B, L, self.num_heads, head_dim).transpose(0, 2, 1, 3)
         if self.use_flash:
-            from svol_tpu.ops.pallas.flash_attention import flash_self_attention
+            # (B, L, D)-native kernel: the einsum path below needs
+            # head-major operands, paying two full HBM transpose passes per
+            # tensor per layer (~0.6 ms/layer in the ViT profile); the
+            # kernel consumes the q/k/v Dense outputs directly (heads are
+            # lane-aligned column slices inside the kernel) and its output
+            # feeds the out-projection untransposed.
+            from svol_tpu.ops.pallas.flash_attention import (
+                flash_self_attention_bld,
+            )
 
-            attn = flash_self_attention(q, k, v, head_dim**-0.5)
+            attn = flash_self_attention_bld(q, k, v, head_dim**-0.5,
+                                            self.num_heads)
         else:
+            q = q.reshape(B, L, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+            k = k.reshape(B, L, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+            v = v.reshape(B, L, self.num_heads, head_dim).transpose(0, 2, 1, 3)
             logits = jnp.einsum("bhqd,bhkd->bhqk", q * head_dim**-0.5, k,
                                 preferred_element_type=jnp.float32)
             w = nn.softmax(logits.astype(jnp.float32), axis=-1)
             if self.dtype is not None:
                 w = w.astype(self.dtype)
             attn = jnp.einsum("bhqk,bhkd->bhqd", w, v)
-        attn = attn.transpose(0, 2, 1, 3).reshape(B, L, self.hidden_size)
+            attn = attn.transpose(0, 2, 1, 3).reshape(B, L, self.hidden_size)
         attn = nn.Dense(self.hidden_size, dtype=self.dtype, name="attn_out")(attn)
         x = x + attn
 
-        h = nn.LayerNorm(epsilon=LN_EPS_VIT, dtype=self.dtype, name="ln_after")(x)
+        h = _layer_norm(self, "ln_after", x, self.use_flash)
         h = nn.Dense(self.mlp_dim, dtype=self.dtype, name="mlp_in")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.hidden_size, dtype=self.dtype, name="mlp_out")(h)
@@ -85,6 +127,12 @@ class ViT(nn.Module):
     remat: bool = False
     # fused flash attention in every encoder layer (see ViTEncoderLayer)
     use_flash: bool = False
+    # apply the final LayerNorm to the CLS token only: LN is per-token, so
+    # when the consumer reads just hidden[:, 0] (the reference's CLS path,
+    # backbone.py:33-36) normalizing the other 196 rows is dead work — one
+    # full HBM pass over the (N*T, 197, 768) activation saved. EXACT for
+    # the CLS feature; the returned hidden state then has seq length 1.
+    final_ln_cls_only: bool = False
 
     @nn.compact
     def __call__(self, images: Array, deterministic: bool = True):
@@ -123,10 +171,14 @@ class ViT(nn.Module):
                 x = layer(x, deterministic=deterministic)
 
         pre_ln = x
+        if self.final_ln_cls_only:
+            x = x[:, :1]
         x = nn.LayerNorm(epsilon=LN_EPS_VIT, dtype=self.dtype, name="ln_final")(x)
         return x, pre_ln
 
 
 def vit_base_patch16(dtype=None, name: str = "vit",
-                     remat: bool = False, use_flash: bool = False) -> ViT:
-    return ViT(dtype=dtype, remat=remat, use_flash=use_flash, name=name)
+                     remat: bool = False, use_flash: bool = False,
+                     final_ln_cls_only: bool = False) -> ViT:
+    return ViT(dtype=dtype, remat=remat, use_flash=use_flash,
+               final_ln_cls_only=final_ln_cls_only, name=name)

@@ -97,17 +97,73 @@ def _block_q(lq: int, lk: int) -> int:
     return 128
 
 
+def _kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale: float, G: int):
+    """G batch-heads per grid step (unrolled): for SMALL attention problems
+    (ViT: L=197, d=64 — a 155 KB f32 logits tile) a one-head grid step does
+    so little MXU work that per-step grid overhead dominates; packing G
+    heads amortizes it G-fold while every tile stays VMEM-resident."""
+    for g in range(G):
+        q = q_ref[g]  # (L, d)
+        logits = jax.lax.dot_general(
+            q * jnp.asarray(scale, q.dtype), k_ref[g],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        w = e / jnp.sum(e, axis=-1, keepdims=True)
+        o_ref[g] = jnp.dot(
+            w.astype(v_ref.dtype), v_ref[g], preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+# pack batch-heads into one grid step only below this per-head logits size
+# (the SVOL head's 1568^2 = 9.8 MB tile stays one-head-per-step — measured
+# fastest there, scripts/bench_flash_block.py; the ViT 197^2 = 155 KB tile
+# is where packing pays)
+_PACK_LOGITS_BYTES = 1024 * 1024
+
+
+def _block_bh(bh: int, lq: int, lk: int) -> int:
+    import os
+
+    override = os.environ.get("SVOL_FLASH_BLOCK_BH")
+    if override and bh % int(override) == 0:
+        return int(override)
+    if lq * lk * 4 > _PACK_LOGITS_BYTES:
+        return 1
+    for g in (16, 12, 8, 6, 4, 3, 2):
+        if bh % g == 0:
+            return g
+    return 1
+
+
 def _pallas_forward(q: Array, k: Array, v: Array, scale: float,
                     interpret: bool) -> Array:
     BH, Lq, d = q.shape
     Lk = k.shape[1]
     bq = _block_q(Lq, Lk)
-    grid = (BH, pl.cdiv(Lq, bq))
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         )
+    G = _block_bh(BH, Lq, Lk) if bq == Lq else 1
+    if G > 1:
+        return pl.pallas_call(
+            functools.partial(_kernel_packed, scale=scale, G=G),
+            grid=(BH // G,),
+            in_specs=[
+                pl.BlockSpec((G, Lq, d), lambda b: (b, 0, 0)),
+                pl.BlockSpec((G, Lk, d), lambda b: (b, 0, 0)),
+                pl.BlockSpec((G, Lk, d), lambda b: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((G, Lq, d), lambda b: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((BH, Lq, d), q.dtype),
+            interpret=interpret,
+            **kwargs,
+        )(q, k, v)
+    grid = (BH, pl.cdiv(Lq, bq))
     return pl.pallas_call(
         functools.partial(_kernel, scale=scale),
         grid=grid,
@@ -373,3 +429,103 @@ def flash_self_attention_int8(q: Array, k: Array, v: Array, scale: float,
         v.reshape(B * H, Lk, d), scale, interpret,
     )
     return out.reshape(B, H, Lq, d)
+
+
+# ---------------------------------------------------------------------------
+# (B, L, D)-native entry: consumes the attention projections' own layout.
+# The einsum formulation needs head-major (B, H, L, d) operands, so every
+# attention site pays two full HBM transpose passes per tensor per layer
+# (the ViT profile showed ~0.6 ms/layer of pure `transpose` at 491 GB/s).
+# Here the kernel takes the (B, L, D) Dense outputs directly — one grid
+# step per image, all H heads unrolled inside, each head a lane-aligned
+# 64-wide column slice — and writes (B, L, D) straight into the
+# out-projection. No transpose, no reshape, anywhere. (A 4-D
+# (B, L, H, d)-blocked variant trips Mosaic's layout inference:
+# "unsupported shape cast vector<197x64> -> vector<1x197x1x64>".)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_bld(q_ref, k_ref, v_ref, o_ref, *, scale: float, H: int, d: int):
+    q = q_ref[0]  # (Lq, D)
+    k = k_ref[0]  # (Lk, D)
+    v = v_ref[0]
+    for h in range(H):
+        lo, hi = h * d, (h + 1) * d
+        logits = jax.lax.dot_general(
+            q[:, lo:hi] * jnp.asarray(scale, q.dtype), k[:, lo:hi],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Lq, Lk) f32, VMEM-resident
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        w = e / jnp.sum(e, axis=-1, keepdims=True)
+        o_ref[0, :, lo:hi] = jnp.dot(
+            w.astype(v.dtype), v[:, lo:hi], preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+def _pallas_forward_bld(q: Array, k: Array, v: Array, scale: float,
+                        num_heads: int, interpret: bool) -> Array:
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    d = D // num_heads
+    assert d * num_heads == D
+    assert Lq * Lk * 4 <= _MAX_LOGITS_TILE_BYTES, (Lq, Lk)
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        )
+    return pl.pallas_call(
+        functools.partial(_kernel_bld, scale=scale, H=num_heads, d=d),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Lq, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Lk, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Lk, D), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Lq, D), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Lq, D), q.dtype),
+        interpret=interpret,
+        **kwargs,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention_bld(q: Array, k: Array, v: Array, scale: float,
+                        num_heads: int, interpret: bool = False) -> Array:
+    """Unmasked multi-head attention in (B, L, D) layout (no transposes)."""
+    return _pallas_forward_bld(q, k, v, scale, num_heads, interpret)
+
+
+def _fwd_bld(q, k, v, scale, num_heads, interpret):
+    return _pallas_forward_bld(q, k, v, scale, num_heads, interpret), (q, k, v)
+
+
+def _bwd_bld(scale, num_heads, interpret, res, g):
+    """Backward bridges to the proven (BH, L, d) fused backward kernel via
+    transposes — training pays the layout passes the forward avoids (the
+    serving path never runs this; revisit if ViT training becomes hot)."""
+    q, k, v = res
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    H = num_heads
+    d = D // H
+    to_std = lambda x, L: jnp.transpose(
+        jnp.asarray(x).reshape(B, L, H, d), (0, 2, 1, 3)).reshape(B * H, L, d)
+    dq, dk, dv = _bwd(scale, interpret,
+                      (to_std(q, Lq), to_std(k, Lk), to_std(v, Lk)),
+                      to_std(g, Lq))
+    back = lambda x, L: jnp.transpose(
+        jnp.asarray(x).reshape(B, H, L, d), (0, 2, 1, 3)).reshape(B, L, D)
+    return back(dq, Lq), back(dk, Lk), back(dv, Lk)
+
+
+flash_attention_bld.defvjp(_fwd_bld, _bwd_bld)
+
+
+def flash_self_attention_bld(q: Array, k: Array, v: Array, scale: float,
+                             num_heads: int) -> Array:
+    """Public entry: (B, L, D) in/out; fused on TPU, interpret elsewhere."""
+    interpret = jax.default_backend() != "tpu"
+    return flash_attention_bld(q, k, v, scale, num_heads, interpret)

@@ -164,3 +164,28 @@ def test_vit_flash_attention_matches_einsum():
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(pre_flash), np.asarray(pre_ein),
                                atol=2e-5)
+
+
+def test_vit_final_ln_cls_only_is_exact():
+    """final_ln_cls_only normalizes just the CLS row — per-token LayerNorm
+    makes that EXACTLY the [:, 0] slice of the full normalization (the dead
+    196 rows were one full HBM pass per sub-backbone)."""
+    import jax
+    import numpy as np
+
+    from svol_tpu.models.vit import ViT
+
+    kw = dict(hidden_size=64, num_layers=2, num_heads=4, mlp_dim=128,
+              patch_size=16, image_size=32)
+    full = ViT(**kw)
+    cls_only = ViT(final_ln_cls_only=True, **kw)
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(size=(3, 32, 32, 3)).astype(np.float32)
+    params = full.init(jax.random.PRNGKey(0), x)  # same tree for both
+    h_full, pre_full = full.apply(params, x)
+    h_cls, pre_cls = cls_only.apply(params, x)
+    assert h_cls.shape == (3, 1, 64)
+    np.testing.assert_array_equal(np.asarray(h_cls[:, 0]),
+                                  np.asarray(h_full[:, 0]))
+    np.testing.assert_array_equal(np.asarray(pre_cls), np.asarray(pre_full))
