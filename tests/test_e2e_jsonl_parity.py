@@ -406,3 +406,124 @@ def test_reference_resnet_backbone_crashes_at_eval_bs1(paired_models):
         with torch.no_grad():
             ref_test.get_results(tmodel, [(one, ref_targets[:1])],
                                  criterion_ref, "cpu")
+
+
+def test_vit_backbone_e2e_rows_match_intended_reference(tmp_path):
+    """VERDICT r4 Next #5: the ViT backbone, end to end through the
+    reference's real ``get_results``. The reference's OWN ViT plumbing is
+    doubly un-runnable (undefined `device` at backbone.py:32,50 AND the
+    video features returned as an unstacked python list that model.py:21
+    immediately `.shape`s — SURVEY §2 defects), so the torch side here
+    implements the INTENDED semantics of backbone.py:11-62 directly: per
+    image, (x-0.5)/0.5 normalize (the ViTFeatureExtractor transform), HF
+    ViTModel, CLS token of the final LayerNorm'ed hidden state — then the
+    real reference SVANet head and the real row-composition loop. Both
+    sides carry identical weights (HF ViTModel state dict ported via
+    convert_hf_vit; our head exported via export_svanet_state_dict)."""
+    from transformers import ViTConfig, ViTModel
+
+    from svol_tpu.config import DataConfig, ModelConfig, SvolConfig
+    from svol_tpu.models import build_model
+    from svol_tpu.train.state import create_train_state
+    from svol_tpu.utils.parity_report import make_parity_batch
+    from svol_tpu.utils.torch_port import (
+        convert_hf_vit,
+        export_svanet_state_dict,
+    )
+
+    IMGV = 64  # 4x4 patches + CLS = 17 tokens; ViT-B widths, tiny runtime
+    cfg = SvolConfig(
+        data=DataConfig(num_frames=T, max_boxes_per_frame=K, image_size=IMGV),
+        model=ModelConfig(backbone="vit", hidden_dim=HID, nheads=4,
+                          num_layers=2, num_queries=Q,
+                          num_queries_per_frame=K,
+                          cmt_dim_feedforward=2048, input_dropout=0.1,
+                          compute_dtype="float32"),
+    )
+
+    torch.manual_seed(3)
+    vit_t = ViTModel(ViTConfig(image_size=IMGV), add_pooling_layer=False)
+    vit_t.eval()
+
+    # our side: one ported ViT serves video AND sketch (the reference
+    # builds both from the same pretrained name, backbone.py:118-122)
+    model = build_model(cfg)
+    import jax
+
+    init = {
+        "src_sketch": np.zeros((1, 1, IMGV, IMGV, 3), np.float32),
+        "src_video": np.zeros((1, 1, IMGV, IMGV, 3), np.float32),
+        "src_sketch_mask": np.ones((1, 1), np.float32),
+        "src_video_mask": np.ones((1, 1), np.float32),
+    }
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), init)
+    ported = convert_hf_vit({k: v.numpy() for k, v in
+                             vit_t.state_dict().items()}, image_size=IMGV)
+    params = dict(state.params)
+    bb = dict(params["backbone"])
+    bb["video_backbone"] = ported["params"]
+    bb["sketch_backbone"] = ported["params"]
+    params["backbone"] = bb
+    state = state.replace(params=params)
+
+    # torch side: intended backbone semantics + the REAL reference head
+    # carrying our exported head weights
+    from lib.modeling.svanet import build_svanet as ref_build_svanet
+
+    rargs = ref_test.args
+    rargs.input_vid_dim = 768
+    rargs.input_skch_dim = 768
+    rargs.vis_mode = None
+    head = ref_build_svanet(rargs)
+    head_sd = export_svanet_state_dict(
+        params["head"], d_model=HID, num_layers=2, n_input_proj=2)
+    head.load_state_dict({k: torch.as_tensor(np.asarray(v))
+                          for k, v in head_sd.items()}, strict=True)
+    # restore resnet dims for any later test using the shared module args
+    rargs.input_vid_dim = 512
+    rargs.input_skch_dim = 512
+
+    class IntendedViTModel(torch.nn.Module):
+        def __init__(self, vit, head):
+            super().__init__()
+            self.vit = vit
+            self.head = head
+
+        def forward(self, src_sketch, src_video, src_sketch_mask=None,
+                    src_video_mask=None):
+            B_, T_ = src_video.shape[:2]
+            norm = lambda x: (x - 0.5) / 0.5
+            s = self.vit(pixel_values=norm(src_sketch[:, 0]))
+            s_feat = s.last_hidden_state[:, :1]  # (B, 1, D) CLS
+            v = self.vit(pixel_values=norm(src_video.flatten(0, 1)))
+            v_feat = v.last_hidden_state[:, 0].reshape(B_, T_, -1)
+            return self.head(s_feat, src_sketch_mask, v_feat, src_video_mask)
+
+    tmodel = IntendedViTModel(vit_t, head)
+    tmodel.eval()
+
+    (t_inputs, ref_targets), (ours_batch, ours_extra) = make_parity_batch(
+        B, T, K, IMGV, seed=13)
+    from lib.modeling.loss import build_loss as ref_build_loss
+
+    criterion_ref = ref_build_loss(rargs)
+    criterion_ref.eval()
+    with torch.no_grad():
+        ref_rows, _ = ref_test.get_results(
+            tmodel, [(t_inputs, ref_targets)], criterion_ref, "cpu")
+
+    from svol_tpu.cli.infer import get_results as our_get_results
+    from svol_tpu.losses.criterion import build_criterion
+    from svol_tpu.train.steps import make_eval_step
+
+    eval_step = make_eval_step(cfg, build_criterion(cfg))
+    our_rows, _ = our_get_results(
+        state, eval_step, [(ours_batch, ours_extra)], num_frames=T)
+
+    ref_rows, our_rows = _norm(ref_rows), _norm(our_rows)
+    assert len(ref_rows) == len(our_rows) == B * T
+    for i, (r, o) in enumerate(zip(ref_rows, our_rows)):
+        assert r["video"] == o["video"] and r["frame"] == o["frame"], i
+        np.testing.assert_allclose(
+            np.array(r["pred_boxes"]), np.array(o["pred_boxes"]),
+            atol=1.01e-4, err_msg=f"row {i}")
